@@ -1,0 +1,44 @@
+package graft.text
+
+/** OCR-style confidence scorer.
+  *
+  * Ports `ConfidenceScorer.calculate` (/root/reference/ocr_service/modules/
+  * confidence.py:17-57): 0.4·alnum_density + 0.4·min(words/10,1) +
+  * min(0.05·marker_hits, 0.2), scaled by min(len/100,1), rounded to 2 dp.
+  */
+object Confidence {
+
+  private val Markers = List(
+    "date", "fecha", "total", "invoice", "factura", "name", "nombre", "id",
+    "dni", "tax", "iva")
+
+  // \b[a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]{2,}\b — confidence.py:45
+  private val wordPattern = uPattern("\\b[a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]{2,}\\b")
+
+  def calculate(text: String): Double = {
+    if (text == null || text.trim.isEmpty) return 0.0
+
+    var alnum = 0
+    var i = 0
+    while (i < text.length) {
+      if (isPyAlnum(text.charAt(i))) alnum += 1
+      i += 1
+    }
+    val density = alnum.toDouble / text.length
+
+    var wordCount = 0
+    val m = wordPattern.matcher(text)
+    while (m.find()) wordCount += 1
+
+    val lower = text.toLowerCase
+    var markerScore = 0.0
+    Markers.foreach(mk => if (lower.contains(mk)) markerScore += 0.05)
+    markerScore = math.min(0.2, markerScore)
+
+    val lengthFactor = math.min(1.0, text.length / 100.0)
+    val wordFactor = if (wordCount > 0) math.min(1.0, wordCount / 10.0) else 0.0
+
+    val baseScore = density * 0.4 + wordFactor * 0.4 + markerScore
+    pyRound(baseScore * lengthFactor, 2)
+  }
+}
