@@ -1,0 +1,84 @@
+package graft.pdf
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets.UTF_8
+
+class PdfKernelSpec extends AnyFunSuite {
+
+  private def pdf(content: String): Array[Byte] =
+    (s"%PDF-1.4\n1 0 obj << /Length ${content.length} >>\nstream\n" +
+      content + "\nendstream\nendobj\n%%EOF\n").getBytes(UTF_8)
+
+  test("magic-byte detection") {
+    assert(PdfParser.isPdf("%PDF-1.4".getBytes(UTF_8)))
+    assert(!PdfParser.isPdf("<html>".getBytes(UTF_8)))
+    assert(!PdfParser.isPdf(Array.emptyByteArray))
+    assert(!PdfParser.isPdf(null))
+  }
+
+  test("single column reads top to bottom") {
+    val content = "BT /F1 12 Tf 72 720 Td (First line) Tj " +
+      "0 -14 Td (Second line) Tj 0 -14 Td (Third line) Tj ET"
+    val text = PdfParser.extractText(pdf(content))
+    assert(text == "First line\nSecond line\nThird line")
+  }
+
+  test("two columns read left column first") {
+    val content = "BT /F1 12 Tf " +
+      "1 0 0 1 72 720 Tm (L one) Tj 1 0 0 1 72 706 Tm (L two) Tj " +
+      "1 0 0 1 400 720 Tm (R one) Tj 1 0 0 1 400 706 Tm (R two) Tj ET"
+    val text = PdfParser.extractText(pdf(content))
+    assert(text == "L one\nL two\nR one\nR two")
+  }
+
+  test("TJ arrays and escapes") {
+    val content = "BT /F1 12 Tf 72 720 Td [(Hel) (lo)] TJ " +
+      "0 -14 Td (paren \\( ok \\)) Tj ET"
+    val text = PdfParser.extractText(pdf(content))
+    assert(text.startsWith("Hello"))
+    assert(text.contains("paren ( ok )"))
+  }
+
+  test("hex strings decoded") {
+    val content = "BT /F1 12 Tf 72 720 Td <48 65 6C 6C 6F> Tj ET"
+    assert(PdfParser.extractText(pdf(content)) == "Hello")
+  }
+
+  test("multi-page joined with PAGE BREAK separator") {
+    val c1 = "BT /F1 12 Tf 72 720 Td (Page one) Tj ET"
+    val c2 = "BT /F1 12 Tf 72 720 Td (Page two) Tj ET"
+    val bytes = (s"%PDF-1.4\n" +
+      s"1 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n" +
+      s"2 0 obj << /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) ==
+      "Page one\n\n--- PAGE BREAK ---\n\nPage two")
+  }
+
+  test("FlateDecode streams inflated") {
+    val content = "BT /F1 12 Tf 72 720 Td (Compressed hello) Tj ET"
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(content.getBytes(UTF_8)); deflater.finish()
+    val buf = new Array[Byte](4096)
+    val n = deflater.deflate(buf)
+    val compressed = java.util.Arrays.copyOf(buf, n)
+    val bytes = ("%PDF-1.4\n1 0 obj << /Length " + n +
+      " /Filter /FlateDecode >>\nstream\n").getBytes(UTF_8) ++ compressed ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) == "Compressed hello")
+  }
+
+  test("quote operator advances line") {
+    val content = "BT /F1 12 Tf 14 TL 72 720 Td (a) Tj (b) ' ET"
+    assert(PdfParser.extractText(pdf(content)) == "a\nb")
+  }
+
+  test("garbage never throws") {
+    assert(PdfParser.extractText("%PDF-1.4 garbage".getBytes(UTF_8)) == "")
+    val r = new java.util.Random(1)
+    val junk = new Array[Byte](1024)
+    r.nextBytes(junk)
+    junk(0) = '%'; junk(1) = 'P'; junk(2) = 'D'; junk(3) = 'F'; junk(4) = '-'
+    PdfParser.extractText(junk) // must not throw
+  }
+}
