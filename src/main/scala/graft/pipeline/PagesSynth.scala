@@ -150,10 +150,13 @@ object PagesSynth {
     // PAN last: sanitize's digit-span rule eats the span's trailing
     // whitespace (reference parity), so a PAN followed by a letter block
     // would defeat the \b-anchored PAN field pattern — in both engines.
+    // EXP kept away from the PAN too: sanitize's span rule merges nearby
+    // digit groups across "/" separators (11-19-digit window), again
+    // mirroring the reference regex.
     wrap(r, "Card",
-      s"""<div><h2>VISA card</h2><p>JOHN SMITH</p>""" +
+      s"""<div><h2>VISA card</h2>""" +
         s"""<p>EXP 0${1 + r.nextInt(9)}/2${6 + r.nextInt(3)}</p>""" +
-        s"""<p>$grouped</p></div>""")
+        s"""<p>JOHN SMITH</p><p>$grouped</p></div>""")
   }
 
   private def noisy(r: java.util.Random): String = {

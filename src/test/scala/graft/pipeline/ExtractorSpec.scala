@@ -41,8 +41,8 @@ class ExtractorSpec extends AnyFunSuite {
   test("card page detects PAN, masks candidates, extracts fields") {
     val r = new java.util.Random(7)
     val pan = PagesSynth.luhnPan(r, "4", 16)
-    val html = (s"<html><body><div><p>VISA card</p><p>JOHN SMITH</p>" +
-      s"<p>EXP 12/27</p><p>${pan.grouped(4).mkString(" ")}</p></div></body></html>")
+    val html = (s"<html><body><div><p>VISA card</p><p>EXP 12/27</p>" +
+      s"<p>JOHN SMITH</p><p>${pan.grouped(4).mkString(" ")}</p></div></body></html>")
       .getBytes(UTF_8)
     val res = Extractor.extract(page(html))
     assert(res.document_type == "bank_card")
