@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{ExtractResult, Model, PageRow}
+
+/** Dataset-level orchestration: salted partitioning, the typed map stage,
+  * per-partition lineage + metrics, exactly-once resume (O7 — the analog of
+  * the reference's Redis idempotency protocol, /root/reference/ocr_service/
+  * modules/processor.py:121-207,295-312, realized as a lineage-table
+  * anti-join + idempotent dynamic-partition overwrite).
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - ONE shuffle total: the salted url-hash repartition. The key is
+  *    per-url, so host-level skew (many pages per hot host) cannot
+  *    concentrate (SURVEY §4 item 3); bucket count scales with cluster
+  *    size, independent of input file layout.
+  *  - The extraction map is narrow after that shuffle; metrics are a
+  *    map-side-combinable groupBy over the already-partitioned bucket
+  *    column (no second wide shuffle of row data).
+  *  - Resume filters by bucket id against the lineage table — a tiny
+  *    broadcast (≤ buckets rows), not a row-level anti-join.
+  */
+object ExtractPipeline {
+
+  val DefaultSalt = 0x9e3779b9
+
+  /** Deterministic synthetic pages (FIXTURES.md) as a typed Dataset;
+    * generated independently per row — parallelizes with no shuffle. */
+  def pages(spark: SparkSession, n: Long, partitions: Int): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(0L, n, 1L, partitions).map(i => PagesSynth.row(i))
+  }
+
+  /** The typed map stage over salted url-hash buckets. */
+  def extract(pagesDs: Dataset[PageRow], buckets: Int,
+      salt: Int = DefaultSalt): Dataset[ExtractResult] = {
+    val spark = pagesDs.sparkSession
+    import spark.implicits._
+    pagesDs
+      .repartition(buckets, pmod(hash(col("url"), lit(salt)), lit(buckets)))
+      .mapPartitions(_.map(Extractor.extract))
+  }
+
+  final case class RunSummary(
+      runId: String,
+      bucketsTotal: Int,
+      bucketsSkipped: Int,
+      bucketsProcessed: Int,
+      docsIn: Long,
+      docsOut: Long)
+
+  /** Checkpointed batch run.
+    *
+    * Protocol (crash-safe at any point):
+    *  1. read lineage table → committed bucket ids for `runId`
+    *  2. process only missing buckets
+    *  3. write output with DYNAMIC partition overwrite keyed by bucket —
+    *     a replayed bucket overwrites its own files (idempotent)
+    *  4. append per-bucket lineage rows (docs_in, docs_out, bytes,
+    *     extractor_version) — the commit record
+    * A crash between 3 and 4 replays the bucket on rerun; step 3 makes the
+    * replay idempotent, so the effect is exactly-once.
+    */
+  def run(
+      spark: SparkSession,
+      pagesDs: Dataset[PageRow],
+      outDir: String,
+      lineageDir: String,
+      runId: String,
+      buckets: Int,
+      salt: Int = DefaultSalt): RunSummary = {
+    import spark.implicits._
+
+    val committed: Set[Int] =
+      if (new java.io.File(lineageDir).exists()) {
+        spark.read.parquet(lineageDir)
+          .filter($"run_id" === runId)
+          .select($"partition_id")
+          .distinct()
+          .as[Int]
+          .collect()
+          .toSet
+      } else Set.empty
+
+    val withBucket = pagesDs
+      .withColumn("bucket", pmod(hash(col("url"), lit(salt)), lit(buckets)))
+
+    val todo =
+      if (committed.isEmpty) withBucket
+      else withBucket.filter(!col("bucket").isin(committed.toSeq: _*))
+
+    val results = todo
+      .repartition(buckets, col("bucket"))
+      .as[PageRowWithBucket]
+      .mapPartitions { it =>
+        it.map(r => ResultWithBucket(Extractor.extract(r.toPageRow), r.bucket))
+      }
+      .select(col("result.*"), col("bucket"))
+      .cache()
+
+    // idempotent write: dynamic overwrite replaces only touched buckets
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    results.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(outDir)
+
+    // per-bucket lineage/metrics commit rows (one aggregate, map-combined)
+    val lineage = results
+      .groupBy(col("bucket").as("partition_id"))
+      .agg(
+        sum(hash(col("url"))).as("input_fingerprint"),
+        count(lit(1)).as("docs_in"),
+        sum(when(col("status") =!= "FAILED", 1L).otherwise(0L)).as("docs_out"),
+        sum(col("bytes_in")).as("bytes"))
+      .withColumn("run_id", lit(runId))
+      .withColumn("extractor_version", lit(Model.ExtractorVersion))
+      .select("run_id", "partition_id", "input_fingerprint", "docs_in",
+        "docs_out", "bytes", "extractor_version")
+
+    lineage.write.mode(SaveMode.Append).parquet(lineageDir)
+
+    val stats = lineage.agg(
+      count(lit(1)), coalesce(sum("docs_in"), lit(0L)),
+      coalesce(sum("docs_out"), lit(0L))).collect()(0)
+    results.unpersist()
+
+    RunSummary(
+      runId = runId,
+      bucketsTotal = buckets,
+      bucketsSkipped = committed.size,
+      bucketsProcessed = stats.getLong(0).toInt,
+      docsIn = stats.getLong(1),
+      docsOut = stats.getLong(2))
+  }
+}
+
+/** Carrier rows for the bucketed map stage. */
+final case class PageRowWithBucket(
+    url: String, warc_ts: java.sql.Timestamp, html: Array[Byte],
+    text: String, lang: String, bucket: Int) {
+  def toPageRow: PageRow = PageRow(url, warc_ts, html, text, lang)
+}
+
+final case class ResultWithBucket(result: ExtractResult, bucket: Int)
