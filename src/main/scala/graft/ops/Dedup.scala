@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sql.GraftFunctions._
+
+/** Large-scale deduplication operators over a `documents`-shaped table
+  * (`doc_id`, `text`, ...). All shapes are shuffle-minimal:
+  *
+  *  - exact:   one groupBy on the content hash (map-side combinable).
+  *  - minhash: signature computed per-row (narrow), ONE explode to band
+  *    buckets, ONE groupBy bucket; pairs verified by exact Jaccard only
+  *    inside buckets (candidate set ≪ n²).
+  *  - simhash: per-row 64-bit sketch (narrow), band-bucketed like minhash,
+  *    hamming-verified.
+  *
+  * At 100 TB the bucket groupBys shuffle only (hash, id) pairs — bytes
+  * per row are tiny and AQE coalesces the post-shuffle partitions.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (minimum) doc_id per distinct text hash.
+    * Output: one row per distinct text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("copies"))
+
+  /** Exact-dedup survivors: input rows minus later duplicates. */
+  def exactSurvivors(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  // ---------------------------------------------------------------
+  // MinHash + LSH (shingle → minhash → band → bucket-join)
+
+  val NumPerm = 64
+  val Bands = 16 // 16 bands × 4 rows
+  val RowsPerBand: Int = NumPerm / Bands
+
+  /** 64-perm MinHash signature per doc (narrow map; one text pass). */
+  def minhashSignatures(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sigUdf = udf((text: String) =>
+      MinHashKernel.signature(text, shingleSize, NumPerm))
+    docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket (a < b). */
+  def minhashCandidates(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, shingleSize)
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(bandHashes(col("sig"))).as(Seq("band", "band_hash")))
+    val buckets = banded
+      .groupBy(col("band"), col("band_hash"))
+      .agg(collect_set(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    // pairs within a bucket (sorted ids → a < b), dedup across bands
+    buckets
+      .select(explode(pairsFromIds(col("ids"))).as("pair"))
+      .select(col("pair._1").as("a"), col("pair._2").as("b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs with estimated Jaccard ≥ threshold (from signature
+    * agreement), then exact n-gram Jaccard verification. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
+      shingleSize: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, shingleSize)
+    val texts = docs.select(col("doc_id"), col("text"))
+    val jacUdf = udf((t1: String, t2: String) =>
+      MinHashKernel.exactJaccard(t1, t2, shingleSize))
+    cand
+      .join(texts.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("text", "text_a"), Seq("a"))
+      .join(texts.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("text", "text_b"), Seq("b"))
+      .withColumn("jaccard", jacUdf(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  private def bandHashes(sig: Column): Column = {
+    // sig: array<long>[64] → array<long>[16] of per-band xxhash-combined rows
+    val bandExprs = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => sig.getItem(b * RowsPerBand + r))
+      hash((lit(b) +: rows): _*).cast("long")
+    }
+    array(bandExprs: _*)
+  }
+
+  private val pairsFromIds =
+    udf((ids: Seq[Long]) => {
+      val sorted = ids.sorted
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until sorted.length
+      } yield (sorted(i), sorted(j))
+    })
+
+  // ---------------------------------------------------------------
+  // SimHash near-dup (hamming ≤ maxDistance)
+
+  /** SimHash pairs within `maxDistance` hamming bits, candidate-filtered by
+    * 4×16-bit band equality (any identical band → candidate; a pair ≤3 bits
+    * apart always shares one of 4 bands — pigeonhole). */
+  def simhashNearDups(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
+    val sketched = docs.select(col("doc_id"),
+      graft_simhash(col("text")).as("sh"))
+    val banded = sketched.select(
+      col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "band_val")))
+    val a = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("band_val"),
+      col("doc_id").as("b"), col("sh").as("sh_b"))
+    val hammingUdf = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
+    a.join(b, Seq("band", "band_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        hammingUdf(col("sh_a"), col("sh_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}
+
+/** Pure shingle/minhash kernels (deterministic, executor-side). */
+object MinHashKernel {
+
+  /** Word shingles of size n, hashed to 64-bit. */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    val tokens = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (tokens.length < n) {
+      if (tokens.isEmpty) return Array.emptyLongArray
+      return Array(mix(tokens.mkString(" ").hashCode.toLong))
+    }
+    val out = new Array[Long](tokens.length - n + 1)
+    var i = 0
+    while (i + n <= tokens.length) {
+      var h = 1125899906842597L
+      var j = i
+      while (j < i + n) {
+        var k = 0
+        val t = tokens(j)
+        while (k < t.length) { h = (h ^ t.charAt(k)) * 1099511628211L; k += 1 }
+        h = (h ^ ' ') * 1099511628211L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  private def mix(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** k-perm MinHash: permutation p = mix(shingle ^ seed_p); one pass over
+    * shingles with k running minima. */
+  def signature(text: String, shingleSize: Int, k: Int): Array[Long] = {
+    val shingles = shingleHashes(text, shingleSize)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val s = shingles(i)
+      var p = 0
+      while (p < k) {
+        val v = mix(s ^ (0x9e3779b97f4a7c15L * (p + 1)))
+        if (v < sig(p)) sig(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Exact shingle-set Jaccard between two texts. */
+  def exactJaccard(t1: String, t2: String, n: Int): Double = {
+    val s1 = shingleHashes(t1, n).toSet
+    val s2 = shingleHashes(t2, n).toSet
+    if (s1.isEmpty && s2.isEmpty) return 1.0
+    if (s1.isEmpty || s2.isEmpty) return 0.0
+    val inter = s1.intersect(s2).size
+    inter.toDouble / (s1.size + s2.size - inter)
+  }
+}

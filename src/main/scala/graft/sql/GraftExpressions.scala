@@ -1,0 +1,164 @@
+package graft.sql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Static, codegen-callable kernels backing the Catalyst expressions.
+  * (A top-level Scala object emits static forwarders, so generated Java
+  * can call `graft.sql.GraftKernels.sanitizeU(x)` directly — the
+  * expressions below stay inside whole-stage codegen.) */
+object GraftKernels {
+  def sanitizeU(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.text.Sanitizer.sanitize(s.toString))
+
+  def luhnValid(s: UTF8String): Boolean =
+    graft.text.Luhn.isValidCardNumber(s.toString)
+
+  def confidence(s: UTF8String): Double =
+    graft.text.Confidence.calculate(s.toString)
+
+  /** 64-bit SimHash over whitespace tokens (training-data near-dup
+    * primitive; Charikar 2002). Deterministic: token hash = murmur-style
+    * via String.hashCode mixed twice. */
+  def simhash(s: UTF8String): Long = {
+    val text = s.toString
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(text.charAt(i))) {
+        if (i > start) {
+          var h = 1125899906842597L // FNV-ish seed
+          var k = start
+          while (k < i) {
+            h = (h ^ Character.toLowerCase(text.charAt(k))) * 1099511628211L
+            k += 1
+          }
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) counts(bit) += 1
+            else counts(bit) -= 1
+            bit += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (counts(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** Polynomial rolling-hash document fingerprint (base-257 over bytes,
+    * mod 2^64) — the document-level analog of per-glyph template hashing
+    * in the reference's scripts. */
+  def rollingFingerprint(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 257L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    h
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** sanitize_text as a native Catalyst expression (SURVEY §7.2 hardening of
+  * T1; semantics in graft.text.Sanitizer, cited to ocr_engine.py:303-359). */
+case class GraftSanitize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    GraftKernels.sanitizeU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.GraftKernels.sanitizeU($c)")
+  override protected def withNewChildInternal(c: Expression): GraftSanitize = copy(c)
+}
+
+/** 13–19-digit Luhn validity (T10; pan_candidates.py:129-147). */
+case class GraftLuhnValid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    GraftKernels.luhnValid(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.GraftKernels.luhnValid($c)")
+  override protected def withNewChildInternal(c: Expression): GraftLuhnValid = copy(c)
+}
+
+/** Confidence score (C1; confidence.py:17-57). */
+case class GraftConfidence(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    GraftKernels.confidence(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.GraftKernels.confidence($c)")
+  override protected def withNewChildInternal(c: Expression): GraftConfidence = copy(c)
+}
+
+/** 64-bit SimHash (near-dup sketch). */
+case class GraftSimHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    GraftKernels.simhash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.GraftKernels.simhash($c)")
+  override protected def withNewChildInternal(c: Expression): GraftSimHash = copy(c)
+}
+
+/** Rolling-hash fingerprint (document fingerprinting). */
+case class GraftFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    GraftKernels.rollingFingerprint(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.GraftKernels.rollingFingerprint($c)")
+  override protected def withNewChildInternal(c: Expression): GraftFingerprint = copy(c)
+}
+
+/** Column-API + SQL registration for the expression suite. */
+object GraftFunctions {
+  def graft_sanitize(c: Column): Column =
+    ColumnBridge.column(GraftSanitize(expression(c)))
+  def graft_luhn_valid(c: Column): Column =
+    ColumnBridge.column(GraftLuhnValid(expression(c)))
+  def graft_confidence(c: Column): Column =
+    ColumnBridge.column(GraftConfidence(expression(c)))
+  def graft_simhash(c: Column): Column =
+    ColumnBridge.column(GraftSimHash(expression(c)))
+  def graft_fingerprint(c: Column): Column =
+    ColumnBridge.column(GraftFingerprint(expression(c)))
+
+  private def expression(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Register SQL-callable functions on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_sanitize",
+      exprs => GraftSanitize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_luhn_valid",
+      exprs => GraftLuhnValid(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_confidence",
+      exprs => GraftConfidence(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      exprs => GraftSimHash(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_fingerprint",
+      exprs => GraftFingerprint(exprs.head), "scala_udf")
+  }
+}
