@@ -61,16 +61,19 @@ object PagesSynth {
 
   // -- corpus classes (FIXTURES.md §1) ------------------------------------
 
+  // sizes approximate Common-Crawl-scale pages (mean ~8 KB of html):
+  // per-row overhead (encode/shuffle/task) must be amortized the way it
+  // would be on the real corpus.
   private def article(r: java.util.Random): String = {
-    val paras = (0 until 3 + r.nextInt(4))
-      .map(_ => s"<p>${paragraph(r, 3 + r.nextInt(3))}</p>").mkString
+    val paras = (0 until 10 + r.nextInt(10))
+      .map(_ => s"<p>${paragraph(r, 5 + r.nextInt(5))}</p>").mkString
     wrap(r, "Article " + sentence(r, 3), s"<article><h2>${sentence(r, 4)}</h2>$paras</article>")
   }
 
   private def linkFarm(r: java.util.Random): String = {
-    val links = (0 until 30 + r.nextInt(20))
+    val links = (0 until 60 + r.nextInt(60))
       .map(i => s"""<li><a href="/p/$i">${sentence(r, 3)}</a></li>""").mkString
-    val content = s"<p>${paragraph(r, 4)}</p>"
+    val content = s"<p>${paragraph(r, 6)}</p>"
     wrap(r, "Directory", s"<div><ul>$links</ul>$content<ul>$links</ul></div>")
   }
 
@@ -107,7 +110,7 @@ object PagesSynth {
   }
 
   private def bankStatement(r: java.util.Random): String = {
-    val txns = (0 until 5 + r.nextInt(8)).map { i =>
+    val txns = (0 until 20 + r.nextInt(25)).map { i =>
       f"<p>0${1 + r.nextInt(9)}/0${1 + r.nextInt(9)}/2024 payment ${Words(r.nextInt(Words.length))} ${(r.nextInt(90000) + 100) / 100.0}%.2f</p>"
     }.mkString
     wrap(r, "Statement",
@@ -160,9 +163,11 @@ object PagesSynth {
   }
 
   private def noisy(r: java.util.Random): String = {
-    val junk = "4048-3700-0450  " + paragraph(r, 3) +
-      " 4111.1111.1111.1111 " + ("x" * (r.nextInt(200) + 50))
-    wrap(r, "Noisy", s"<div><p>$junk</p><p>${paragraph(r, 5)}</p></div>")
+    // control chars exercise the sanitizer's allowed-char filter (T1)
+    val junk = "4048-3700-0450 \u0007\u0001 " + paragraph(r, 8) +
+      " 4111.1111.1111.1111 " + ("x" * (r.nextInt(800) + 200))
+    val paras = (0 until 6).map(_ => s"<p>${paragraph(r, 6)}</p>").mkString
+    wrap(r, "Noisy", s"<div><p>$junk</p>$paras</div>")
   }
 
   // -- PDFs ----------------------------------------------------------------
@@ -186,20 +191,20 @@ object PagesSynth {
   }
 
   private def pdfSingleColumn(r: java.util.Random): Array[Byte] = {
-    val lines = (0 until 8 + r.nextInt(8)).map { i =>
+    val lines = (0 until 30 + r.nextInt(15)).map { i =>
       (72.0, 720.0 - i * 14, sentence(r, 6 + r.nextInt(5)))
     }.toList
     pdfBytes(List(lines))
   }
 
   private def pdfTwoColumn(r: java.util.Random): Array[Byte] = {
-    val left = (0 until 10).map(i => (72.0, 720.0 - i * 14, sentence(r, 4)))
-    val right = (0 until 10).map(i => (340.0, 720.0 - i * 14, sentence(r, 4)))
+    val left = (0 until 30).map(i => (72.0, 720.0 - i * 14, sentence(r, 4)))
+    val right = (0 until 30).map(i => (340.0, 720.0 - i * 14, sentence(r, 4)))
     pdfBytes(List((left ++ right).toList))
   }
 
   private def pdfMultiPage(r: java.util.Random): Array[Byte] = {
-    val mk = () => (0 until 6).map(i =>
+    val mk = () => (0 until 20).map(i =>
       (72.0, 720.0 - i * 14, sentence(r, 5))).toList
     pdfBytes(List(mk(), mk(), mk()))
   }
