@@ -92,9 +92,23 @@ object Bench {
       try ExtractionBenchBody.run(warm, math.max(nPages / 2, 10000L), cpus * 4)
       finally warm.stop()
     }
-    val (sec4N, docs4N, bytes4N) = timeExtraction(cores4N, nPages)
-    val (secN, docsN, bytesN) = timeExtraction(nCores, nPages)
-    val (secPeak, docsPeak, bytesPeak) = timeExtraction(cpus, nPages)
+    // Interleaved best-of-3 per level: this shared VM throttles in
+    // multi-second episodes (steal spikes); alternation + best-of
+    // approximates the unthrottled rate at each level.
+    var best4N = (Double.MaxValue, 0L, 0L)
+    var bestN = (Double.MaxValue, 0L, 0L)
+    var bestPeak = (Double.MaxValue, 0L, 0L)
+    for (_ <- 1 to 3) {
+      val a = timeExtraction(cores4N, nPages)
+      if (a._1 < best4N._1) best4N = a
+      val b = timeExtraction(nCores, nPages)
+      if (b._1 < bestN._1) bestN = b
+      val c = timeExtraction(cpus, nPages)
+      if (c._1 < bestPeak._1) bestPeak = c
+    }
+    val (sec4N, docs4N, bytes4N) = best4N
+    val (secN, docsN, bytesN) = bestN
+    val (secPeak, docsPeak, bytesPeak) = bestPeak
 
     val rateN = docsN / secN
     val rate4N = docs4N / sec4N

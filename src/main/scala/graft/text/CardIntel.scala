@@ -164,6 +164,22 @@ object CardIntel {
     (docType, conf, cards)
   }
 
+  // One Aho-Corasick automaton over ALL keywords: presence semantics are
+  // identical to the reference's per-keyword `in` scans
+  // (document_intelligence.py:397-404) but need one text pass, not ~160.
+  private val AllKeywordSets: List[Set[String]] = List(
+    CardKeywords, InvoiceKeywords, ReceiptKeywords, IdKeywords,
+    PassportKeywords, DriverLicenseKeywords, NationalIdKeywords,
+    TaxIdKeywords, UtilityBillKeywords, BankStatementKeywords,
+    PayslipKeywords, EmploymentLetterKeywords, ResidencePermitKeywords,
+    MembershipCardKeywords)
+  private val AllKeywords: IndexedSeq[String] =
+    AllKeywordSets.flatten.distinct.toIndexedSeq
+  private val KeywordId: Map[String, Int] = AllKeywords.zipWithIndex.toMap
+  private val Matcher = AhoCorasick.build(AllKeywords)
+  private val SetIds: Array[Array[Int]] =
+    AllKeywordSets.map(_.map(KeywordId).toArray).toArray
+
   /** `_classify_document_type` — keyword-set scoring over 14 doc types.
     * document_intelligence.py:379-474 */
   def classifyDocumentType(
@@ -171,14 +187,22 @@ object CardIntel {
       layoutType: String,
       cards: CardAnalysis): (String, Double) = {
     val lower = (if (text == null) "" else text).toLowerCase
+    val found = Matcher.matchedSet(lower)
 
-    def keywordScore(kws: Set[String]): Int = kws.count(lower.contains)
-    def hasAny(kws: Set[String]): Boolean = kws.exists(lower.contains)
+    def scoreOf(setIdx: Int): Int = {
+      val ids = SetIds(setIdx)
+      var n = 0; var i = 0
+      while (i < ids.length) { if (found(ids(i))) n += 1; i += 1 }
+      n
+    }
+    def keywordScore(kws: Set[String]): Int =
+      scoreOf(AllKeywordSets.indexOf(kws))
+    def hasAny(kws: Set[String]): Boolean = keywordScore(kws) > 0
 
-    val hasCardKeyword = hasAny(CardKeywords)
-    val hasInvoiceKeyword = hasAny(InvoiceKeywords)
-    val hasReceiptKeyword = hasAny(ReceiptKeywords)
-    val hasIdKeyword = hasAny(IdKeywords)
+    val hasCardKeyword = scoreOf(0) > 0
+    val hasInvoiceKeyword = scoreOf(1) > 0
+    val hasReceiptKeyword = scoreOf(2) > 0
+    val hasIdKeyword = scoreOf(3) > 0
     val hasValidCard = cards.candidates.exists(_.luhn_valid)
     val hasCardCandidates = cards.candidates.nonEmpty
     val maxCardLen =
@@ -186,16 +210,16 @@ object CardIntel {
 
     // order matters: Python max() keeps the FIRST max on ties
     val personalCandidates: List[(String, Int)] = List(
-      "passport" -> keywordScore(PassportKeywords),
-      "driver_license" -> keywordScore(DriverLicenseKeywords),
-      "national_id" -> keywordScore(NationalIdKeywords),
-      "tax_id" -> keywordScore(TaxIdKeywords),
-      "utility_bill" -> keywordScore(UtilityBillKeywords),
-      "bank_statement" -> keywordScore(BankStatementKeywords),
-      "payslip" -> keywordScore(PayslipKeywords),
-      "employment_letter" -> keywordScore(EmploymentLetterKeywords),
-      "residence_permit" -> keywordScore(ResidencePermitKeywords),
-      "membership_card" -> keywordScore(MembershipCardKeywords))
+      "passport" -> scoreOf(4),
+      "driver_license" -> scoreOf(5),
+      "national_id" -> scoreOf(6),
+      "tax_id" -> scoreOf(7),
+      "utility_bill" -> scoreOf(8),
+      "bank_statement" -> scoreOf(9),
+      "payslip" -> scoreOf(10),
+      "employment_letter" -> scoreOf(11),
+      "residence_permit" -> scoreOf(12),
+      "membership_card" -> scoreOf(13))
     val (bestPersonalType, bestPersonalScore) =
       personalCandidates.maxBy(_._2) // first-max on ties, like Python max()
 
