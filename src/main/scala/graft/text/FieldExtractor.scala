@@ -22,103 +22,157 @@ object FieldExtractor {
     Pattern.UNICODE_CASE | Pattern.UNICODE_CHARACTER_CLASS
   private def p(re: String): Pattern = Pattern.compile(re, F)
 
+  /** A pattern plus a cheap necessary-condition prefilter: if none of the
+    * lowercase `gates` literals occur in the (lowercased) text, the regex
+    * CANNOT match and is skipped — pure pruning, identical results. Empty
+    * gates = always run. `mrzRun` gates on a ≥30-char [A-Za-z0-9<] run
+    * (necessary for the MRZ patterns) instead of a literal. */
+  final case class Gated(pattern: Pattern, gates: List[String] = Nil,
+      mrzRun: Boolean = false)
+
+  private def hasMrzRun(text: String): Boolean = {
+    var run = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val in = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '<'
+      if (in) { run += 1; if (run >= 30) return true } else run = 0
+      i += 1
+    }
+    false
+  }
+
   private val DatePatterns = List(
-    p("\\b(\\d{4}[-/]\\d{2}[-/]\\d{2})\\b"),
-    p("\\b(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})\\b"),
-    p("\\b(\\d{1,2}[/]\\d{1,2}[/]\\d{2,4})\\b"))
+    Gated(p("\\b(\\d{4}[-/]\\d{2}[-/]\\d{2})\\b")),
+    Gated(p("\\b(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})\\b")),
+    Gated(p("\\b(\\d{1,2}[/]\\d{1,2}[/]\\d{2,4})\\b")))
 
   private val DocNumberPatterns = List(
-    p("\\b(?:DNI|NIE|NIF|ID|No\\.?|NUM\\.?|CÉDULA|CEDULA|DOC)[\\s:#]*([A-Z0-9?]{6,20})(?=[^A-Z0-9?]|$)"),
-    p("\\b([A-Z]{1,3}\\s?\\d{6,12})\\b"),
-    p("\\b(\\d{7,12}[A-Z]?)\\b"))
+    Gated(p("\\b(?:DNI|NIE|NIF|ID|No\\.?|NUM\\.?|CÉDULA|CEDULA|DOC)[\\s:#]*([A-Z0-9?]{6,20})(?=[^A-Z0-9?]|$)")),
+    Gated(p("\\b([A-Z]{1,3}\\s?\\d{6,12})\\b")),
+    Gated(p("\\b(\\d{7,12}[A-Z]?)\\b")))
 
   private val PassportNumberPatterns = List(
-    p("\\b([A-Z]{1,2}\\d{6,8})\\b"),
-    p("\\b([A-Z0-9]{8,9})\\b"))
+    Gated(p("\\b([A-Z]{1,2}\\d{6,8})\\b")),
+    Gated(p("\\b([A-Z0-9]{8,9})\\b")))
 
   private val MrzPatterns = List(
-    p("([A-Z0-9<]{30,44}\\n[A-Z0-9<]{30,44})"),
-    p("([A-Z0-9<]{30,44})"))
+    Gated(p("([A-Z0-9<]{30,44}\\n[A-Z0-9<]{30,44})"), mrzRun = true),
+    Gated(p("([A-Z0-9<]{30,44})"), mrzRun = true))
 
   private val NamePatterns = List(
-    p("(?:FULL\\s+NAME|NOMBRE\\s+COMPLETO)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑ\\s\\-']{4,60})"),
-    p("P<[A-Z]{3}<([A-Z<]{5,44})"),
-    p("(?:SURNAME|APELLIDOS?|LAST\\s+NAME|NOM)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑ\\s\\-']{2,50})"),
-    p("(?:GIVEN\\s+NAMES?|NOMBRES?|FIRST\\s+NAME|PRÉNOM)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑ\\s\\-']{2,40})"))
+    Gated(p("(?:FULL\\s+NAME|NOMBRE\\s+COMPLETO)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑ\\s\\-']{4,60})"),
+      List("full", "nombre")),
+    Gated(p("P<[A-Z]{3}<([A-Z<]{5,44})"), List("p<")),
+    Gated(p("(?:SURNAME|APELLIDOS?|LAST\\s+NAME|NOM)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑ\\s\\-']{2,50})"),
+      List("surname", "apellido", "last", "nom")),
+    Gated(p("(?:GIVEN\\s+NAMES?|NOMBRES?|FIRST\\s+NAME|PRÉNOM)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑ\\s\\-']{2,40})"),
+      List("given", "nombre", "first", "prénom")))
 
   private val AddressPatterns = List(
-    p("(?:ADDRESS|DIRECCIÓN|DOMICILIO|ADRESSE)[:\\s]+(.{10,100}?)(?:\\n|$)"),
-    p("(?:STREET|CALLE|RUE|STRASSE)[:\\s]+(.{5,80}?)(?:\\n|$)"))
+    Gated(p("(?:ADDRESS|DIRECCIÓN|DOMICILIO|ADRESSE)[:\\s]+(.{10,100}?)(?:\\n|$)"),
+      List("address", "dirección", "domicilio", "adresse")),
+    Gated(p("(?:STREET|CALLE|RUE|STRASSE)[:\\s]+(.{5,80}?)(?:\\n|$)"),
+      List("street", "calle", "rue", "strasse")))
 
   private val ExpiryPatterns = List(
-    p("(?:EXPIRY|EXPIRATION|EXP\\.?|VENC\\.?|VÁLIDO\\s+HASTA|VALID\\s+(?:THRU|UNTIL))[:\\s/]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"),
-    p("(?:EXPIRY|EXP\\.?|EXPIRATION|VENC\\.?|VALID\\s+THRU)[:\\s/]+(\\d{1,2}[/.\\-]\\d{2,4})(?![/.\\-]\\d{2,4})"))
+    Gated(p("(?:EXPIRY|EXPIRATION|EXP\\.?|VENC\\.?|VÁLIDO\\s+HASTA|VALID\\s+(?:THRU|UNTIL))[:\\s/]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"),
+      List("exp", "venc", "válido", "valid")),
+    Gated(p("(?:EXPIRY|EXP\\.?|EXPIRATION|VENC\\.?|VALID\\s+THRU)[:\\s/]+(\\d{1,2}[/.\\-]\\d{2,4})(?![/.\\-]\\d{2,4})"),
+      List("exp", "venc", "valid")))
 
   private val NationalityPatterns = List(
-    p("(?:NATIONALITY|NACIONALIDAD|NATIONALITÉ)[:\\s]+([A-Z]{2,3}|[A-Za-z]{4,20})"))
+    Gated(p("(?:NATIONALITY|NACIONALIDAD|NATIONALITÉ)[:\\s]+([A-Z]{2,3}|[A-Za-z]{4,20})"),
+      List("nationali", "nacionalidad")))
 
   private val GenderPatterns = List(
-    p("(?:SEX|SEXO|GENRE|GESCHLECHT)[:\\s]+([MFX])"),
-    p("\\b(MALE|FEMALE|MASCULINO|FEMENINO)\\b"))
+    Gated(p("(?:SEX|SEXO|GENRE|GESCHLECHT)[:\\s]+([MFX])"),
+      List("sex", "genre", "geschlecht")),
+    Gated(p("\\b(MALE|FEMALE|MASCULINO|FEMENINO)\\b"),
+      List("male", "masculino", "femenino")))
 
   private val TaxNumberPatterns = List(
-    p("(?:NIF|NIE|RFC|CPF|CNPJ|TIN|VAT|TAX\\s+ID)[:\\s#]*([A-Z0-9\\-\\.]{6,20})"),
-    p("\\b(\\d{3}[.\\-]\\d{3}[.\\-]\\d{3}[.\\-]\\d{1,2})\\b"),
-    p("\\b([A-Z]{4}\\d{6}[A-Z0-9]{3})\\b"))
+    Gated(p("(?:NIF|NIE|RFC|CPF|CNPJ|TIN|VAT|TAX\\s+ID)[:\\s#]*([A-Z0-9\\-\\.]{6,20})"),
+      List("nif", "nie", "rfc", "cpf", "cnpj", "tin", "vat", "tax")),
+    Gated(p("\\b(\\d{3}[.\\-]\\d{3}[.\\-]\\d{3}[.\\-]\\d{1,2})\\b")),
+    Gated(p("\\b([A-Z]{4}\\d{6}[A-Z0-9]{3})\\b")))
 
   private val PanPatterns = List(
-    p("\\b(\\d{4}[\\s\\-]?\\d{4}[\\s\\-]?\\d{4}[\\s\\-]?\\d{4})\\b"),
-    p("\\b(\\d{4}[\\s\\-]?\\d{6}[\\s\\-]?\\d{5})\\b"))
+    Gated(p("\\b(\\d{4}[\\s\\-]?\\d{4}[\\s\\-]?\\d{4}[\\s\\-]?\\d{4})\\b")),
+    Gated(p("\\b(\\d{4}[\\s\\-]?\\d{6}[\\s\\-]?\\d{5})\\b")))
 
   private val CvvPatterns = List(
-    p("(?:CVV|CVC|CVV2|CVC2|CSC)[:\\s]+(\\d{3,4})"))
+    Gated(p("(?:CVV|CVC|CVV2|CVC2|CSC)[:\\s]+(\\d{3,4})"),
+      List("cvv", "cvc", "csc")))
 
   private val AccountNumberPatterns = List(
-    p("(?:ACCOUNT\\s+(?:NUMBER|NO\\.?)|CUENTA|IBAN|NUMÉRO\\s+DE\\s+COMPTE)[:\\s#]*([A-Z0-9\\s\\-]{8,34})"),
-    p("\\b(IBAN[\\s:]+[A-Z]{2}\\d{2}[A-Z0-9\\s]{11,29})\\b"))
+    Gated(p("(?:ACCOUNT\\s+(?:NUMBER|NO\\.?)|CUENTA|IBAN|NUMÉRO\\s+DE\\s+COMPTE)[:\\s#]*([A-Z0-9\\s\\-]{8,34})"),
+      List("account", "cuenta", "iban", "numéro")),
+    Gated(p("\\b(IBAN[\\s:]+[A-Z]{2}\\d{2}[A-Z0-9\\s]{11,29})\\b"),
+      List("iban")))
 
   private val EmployerPatterns = List(
-    p("(?:EMPLOYER|EMPRESA|COMPANY|EMPLOYEUR)[:\\s]+(.{3,60}?)(?:\\n|$)"))
+    Gated(p("(?:EMPLOYER|EMPRESA|COMPANY|EMPLOYEUR)[:\\s]+(.{3,60}?)(?:\\n|$)"),
+      List("employer", "empresa", "company", "employeur")))
 
   private val SalaryPatterns = List(
-    p("(?:SALARY|SALARIO|GROSS\\s+PAY|NET\\s+PAY|SALAIRE)[:\\s]+([£$€\\d,\\.\\s]+)"),
-    p("(?:TOTAL\\s+EARNINGS|TOTAL\\s+SALARIO)[:\\s]+([£$€\\d,\\.\\s]+)"))
+    Gated(p("(?:SALARY|SALARIO|GROSS\\s+PAY|NET\\s+PAY|SALAIRE)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("salar", "salaire", "gross", "net")),
+    Gated(p("(?:TOTAL\\s+EARNINGS|TOTAL\\s+SALARIO)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("total")))
 
   private val PeriodPatterns = List(
-    p("(?:PAY\\s+PERIOD|PERIODO|PERIOD|FOR\\s+THE\\s+MONTH\\s+OF)[:\\s]+(.{3,40}?)(?:\\n|$)"),
-    p("(?:STATEMENT\\s+PERIOD|FROM|DESDE)[:\\s]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"))
+    Gated(p("(?:PAY\\s+PERIOD|PERIODO|PERIOD|FOR\\s+THE\\s+MONTH\\s+OF)[:\\s]+(.{3,40}?)(?:\\n|$)"),
+      List("period", "month")),
+    Gated(p("(?:STATEMENT\\s+PERIOD|FROM|DESDE)[:\\s]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"),
+      List("statement", "from", "desde")))
 
   private val TotalPatterns = List(
-    p("(?:TOTAL\\s+AMOUNT|TOTAL|IMPORTE\\s+TOTAL|MONTANT\\s+TOTAL)[:\\s]+([£$€\\d,\\.\\s]+)"),
-    p("(?:AMOUNT\\s+DUE|SALDO\\s+TOTAL|BALANCE\\s+DUE)[:\\s]+([£$€\\d,\\.\\s]+)"))
+    Gated(p("(?:TOTAL\\s+AMOUNT|TOTAL|IMPORTE\\s+TOTAL|MONTANT\\s+TOTAL)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("total", "importe", "montant")),
+    Gated(p("(?:AMOUNT\\s+DUE|SALDO\\s+TOTAL|BALANCE\\s+DUE)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("amount", "saldo", "balance")))
 
   private val OpeningBalancePatterns = List(
-    p("(?:OPENING\\s+BALANCE|SALDO\\s+INICIAL|SOLDE\\s+INITIAL|ANFANGSSALDO)[:\\s]+([£$€\\d,\\.\\s]+)"),
-    p("(?:BALANCE\\s+BROUGHT\\s+FORWARD|B/F)[:\\s]+([£$€\\d,\\.\\s]+)"))
+    Gated(p("(?:OPENING\\s+BALANCE|SALDO\\s+INICIAL|SOLDE\\s+INITIAL|ANFANGSSALDO)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("opening", "saldo", "solde", "anfangssaldo")),
+    Gated(p("(?:BALANCE\\s+BROUGHT\\s+FORWARD|B/F)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("balance", "b/f")))
 
   private val ClosingBalancePatterns = List(
-    p("(?:CLOSING\\s+BALANCE|SALDO\\s+FINAL|SOLDE\\s+FINAL|ENDSALDO)[:\\s]+([£$€\\d,\\.\\s]+)"),
-    p("(?:BALANCE\\s+CARRIED\\s+FORWARD|C/F|FINAL\\s+BALANCE)[:\\s]+([£$€\\d,\\.\\s]+)"))
+    Gated(p("(?:CLOSING\\s+BALANCE|SALDO\\s+FINAL|SOLDE\\s+FINAL|ENDSALDO)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("closing", "saldo", "solde", "endsaldo")),
+    Gated(p("(?:BALANCE\\s+CARRIED\\s+FORWARD|C/F|FINAL\\s+BALANCE)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("balance", "c/f")))
 
   private val VatPatterns = List(
-    p("(?:VAT|IVA|TVA|TAX\\s+AMOUNT|MWST)[:\\s]+([£$€\\d,\\.\\s%]+)"),
-    p("(?:VALUE\\s+ADDED\\s+TAX)[:\\s]+([£$€\\d,\\.\\s]+)"))
+    Gated(p("(?:VAT|IVA|TVA|TAX\\s+AMOUNT|MWST)[:\\s]+([£$€\\d,\\.\\s%]+)"),
+      List("vat", "iva", "tva", "tax", "mwst")),
+    Gated(p("(?:VALUE\\s+ADDED\\s+TAX)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("value")))
 
   private val IssueDatePatterns = List(
-    p("(?:ISSUE\\s+DATE|DATE\\s+OF\\s+ISSUE|ISSUED|EMISSION\\s+DATE|FECHA\\s+DE\\s+EMISI[OÓ]N)[:\\s]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"),
-    p("(?:DATE\\s+ISSUED|FECHA\\s+DE\\s+EXPEDICI[OÓ]N)[:\\s]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"))
+    Gated(p("(?:ISSUE\\s+DATE|DATE\\s+OF\\s+ISSUE|ISSUED|EMISSION\\s+DATE|FECHA\\s+DE\\s+EMISI[OÓ]N)[:\\s]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"),
+      List("issue", "emission", "emisi")),
+    Gated(p("(?:DATE\\s+ISSUED|FECHA\\s+DE\\s+EXPEDICI[OÓ]N)[:\\s]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"),
+      List("issued", "expedici")))
 
   private val PlaceOfBirthPatterns = List(
-    p("(?:PLACE\\s+OF\\s+BIRTH|LIEU\\s+DE\\s+NAISSANCE|LUGAR\\s+DE\\s+NACIMIENTO|LUOGO\\s+DI\\s+NASCITA|GEBURTSORT)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑA-Za-z\\s\\-,]{2,50})"),
-    p("(?:POB|NACIDO\\s+EN|BORN\\s+IN)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑA-Za-z\\s\\-,]{2,50})"))
+    Gated(p("(?:PLACE\\s+OF\\s+BIRTH|LIEU\\s+DE\\s+NAISSANCE|LUGAR\\s+DE\\s+NACIMIENTO|LUOGO\\s+DI\\s+NASCITA|GEBURTSORT)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑA-Za-z\\s\\-,]{2,50})"),
+      List("birth", "naissance", "nacimiento", "nascita", "geburtsort")),
+    Gated(p("(?:POB|NACIDO\\s+EN|BORN\\s+IN)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑA-Za-z\\s\\-,]{2,50})"),
+      List("pob", "nacido", "born")))
 
   private val OutstandingAmountPatterns = List(
-    p("(?:OUTSTANDING\\s+AMOUNT|AMOUNT\\s+OUTSTANDING|SALDO\\s+PENDIENTE|MONTANT\\s+EN\\s+SOUFFRANCE)[:\\s]+([£$€\\d,\\.\\s]+)"),
-    p("(?:OVERDUE|PAST\\s+DUE)[:\\s]+([£$€\\d,\\.\\s]+)"))
+    Gated(p("(?:OUTSTANDING\\s+AMOUNT|AMOUNT\\s+OUTSTANDING|SALDO\\s+PENDIENTE|MONTANT\\s+EN\\s+SOUFFRANCE)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("outstanding", "saldo", "montant")),
+    Gated(p("(?:OVERDUE|PAST\\s+DUE)[:\\s]+([£$€\\d,\\.\\s]+)"),
+      List("overdue", "past")))
 
   final case class FieldDef(
       name: String,
-      patterns: List[Pattern],
+      patterns: List[Gated],
       sensitive: Boolean,
       baseConfidence: String)
 
@@ -336,15 +390,26 @@ object FieldExtractor {
     groupIn4s("*" * (digits.length - 4) + digits.takeRight(4))
   }
 
-  /** `_try_patterns`, personal_doc_extractor.py:559-568 */
-  def tryPatterns(text: String, patterns: List[Pattern]): Option[String] = {
-    patterns.foreach { pat =>
-      val m = pat.matcher(text)
-      if (m.find()) {
-        val v =
-          if (m.groupCount() >= 1 && m.group(1) != null) m.group(1)
-          else m.group()
-        return Some(v.trim)
+  /** `_try_patterns`, personal_doc_extractor.py:559-568 — with the Gated
+    * literal prefilter (skips regexes that cannot match; identical
+    * results, far fewer full-text scans). */
+  def tryPatterns(text: String, patterns: List[Gated]): Option[String] =
+    tryPatternsLower(text, text.toLowerCase, patterns)
+
+  def tryPatternsLower(text: String, lower: String,
+      patterns: List[Gated]): Option[String] = {
+    patterns.foreach { g =>
+      val gateOk =
+        if (g.mrzRun) hasMrzRun(text)
+        else g.gates.isEmpty || g.gates.exists(lower.contains)
+      if (gateOk) {
+        val m = g.pattern.matcher(text)
+        if (m.find()) {
+          val v =
+            if (m.groupCount() >= 1 && m.group(1) != null) m.group(1)
+            else m.group()
+          return Some(v.trim)
+        }
       }
     }
     None
@@ -402,9 +467,10 @@ object FieldExtractor {
 
     val fields = List.newBuilder[FieldRow]
     val warnings = List.newBuilder[String]
+    val lower = text.toLowerCase
     definitions.foreach { d =>
       if (!OmitFromResponse.contains(d.name)) {
-        tryPatterns(text, d.patterns).foreach { raw =>
+        tryPatternsLower(text, lower, d.patterns).foreach { raw =>
           val (row, w) = buildField(d.name, raw, d.sensitive, d.baseConfidence, runYear)
           fields += row
           warnings ++= w
