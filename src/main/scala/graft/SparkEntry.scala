@@ -246,6 +246,47 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("width"), col("height"),
           col("n_frames"), col("bytes"))
         .orderBy(col("media_id"))
+    }),
+
+    "x_multimodal_frames" -> ((s, _) => {
+      val media = Multimodal.synth(s, 200, 4)
+      Multimodal.sampleFrames(Multimodal.extractFeatures(media), stride = 5)
+        .select(col("media_id"), col("kind"), col("frame"))
+        .orderBy(col("media_id"), col("frame"))
+    }),
+
+    // ---- learning-pattern store (S8) + validation gate (O12) ------------
+    "x_learning_patterns" -> ((s, _) => {
+      val results = graft.pipeline.ExtractPipeline
+        .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
+      graft.ops.LearningStore.bestPatterns(
+        graft.ops.LearningStore.fromExtraction(results))
+        .select(col("doc_type"), col("accuracy_score"), col("version"))
+        .orderBy(col("doc_type"))
+    }),
+
+    "x_validation_stats" -> ((s, _) => {
+      val results = graft.pipeline.ExtractPipeline
+        .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
+      graft.ops.ValidationGate.distribution(results)
+        .orderBy(col("document_type"))
+    }),
+
+    // ---- fintech normalizer (T16-T19) over extracted text ---------------
+    "x_extract_normalized" -> ((s, _) => {
+      val results = graft.pipeline.ExtractPipeline
+        .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
+      val sectionsUdf = udf((t: String) =>
+        graft.text.Normalizer.splitSections(t).size)
+      val txnUdf = udf((t: String) =>
+        graft.text.Normalizer.transactionLines(t).size)
+      val itemsUdf = udf((t: String) =>
+        graft.text.Normalizer.receiptItems(t).size)
+      results.select(col("url"),
+        sectionsUdf(col("text")).as("n_sections"),
+        txnUdf(col("text")).as("n_txn_lines"),
+        itemsUdf(col("text")).as("n_receipt_items"))
+        .orderBy(col("url"))
     })
   )
 

@@ -1,0 +1,57 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.{ExtractPipeline, PagesSynth}
+import graft.sources.Sources
+
+/** spark-submit entry point for the production extraction run
+  * (SURVEY §7.1 jobs/):
+  *
+  *   spark-submit --class graft.jobs.ExtractJob app.jar \
+  *     --input <pages parquet | synth:N> --output <dir> \
+  *     --lineage <dir> --run-id <id> [--buckets B]
+  *
+  * Resumable: rerunning with the same run-id skips committed buckets
+  * (per-partition lineage anti-filter + idempotent dynamic overwrite).
+  * On a cluster, buckets should be ≈ 2-4× total executor cores so the
+  * salted url-hash repartition balances hot hosts (north_rule).
+  */
+object ExtractJob {
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+    val input = opts.getOrElse("input", "synth:100000")
+    val output = opts.getOrElse("output", "/tmp/graft-out")
+    val lineage = opts.getOrElse("lineage", "/tmp/graft-lineage")
+    val runId = opts.getOrElse("run-id", "run-default")
+
+    val spark = SparkSession.builder()
+      .appName(s"graft-extract-$runId")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val defaultBuckets =
+      math.max(spark.sparkContext.defaultParallelism * 2, 8)
+    val buckets = opts.get("buckets").map(_.toInt).getOrElse(defaultBuckets)
+
+    val pages =
+      if (input.startsWith("synth:")) {
+        val n = input.stripPrefix("synth:").toLong
+        ExtractPipeline.pages(spark, n, buckets)
+      } else Sources.pagesTable(spark, input)
+
+    val summary =
+      ExtractPipeline.run(spark, pages, output, lineage, runId, buckets)
+    // one summary line for the orchestrator
+    println(
+      s"""{"run_id":"${summary.runId}","buckets":${summary.bucketsTotal},""" +
+        s""""skipped":${summary.bucketsSkipped},"processed":${summary.bucketsProcessed},""" +
+        s""""docs_in":${summary.docsIn},"docs_out":${summary.docsOut}}""")
+    spark.stop()
+  }
+}

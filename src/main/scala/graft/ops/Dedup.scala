@@ -109,8 +109,10 @@ object Dedup {
   // SimHash near-dup (hamming ≤ maxDistance)
 
   /** SimHash pairs within `maxDistance` hamming bits, candidate-filtered by
-    * 4×16-bit band equality (any identical band → candidate; a pair ≤3 bits
-    * apart always shares one of 4 bands — pigeonhole). */
+    * 4×16-bit band equality. Recall bound: a pair ≤3 bits apart ALWAYS
+    * shares one of the 4 bands (pigeonhole) — exact for maxDistance ≤ 3;
+    * beyond that, candidates require a lucky identical band (standard
+    * simhash-dedup operating point is distance ≤ 3). */
   def simhashNearDups(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
     val sketched = docs.select(col("doc_id"),
       graft_simhash(col("text")).as("sh"))

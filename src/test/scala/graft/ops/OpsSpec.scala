@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dedup / similarity / text-analysis / learning-store / validation /
+  * multimodal operator tests. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-ops-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per distinct text") {
+    val d = docs(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa")
+    val out = Dedup.exact(d).collect()
+    assert(out.length == 2)
+    val aaa = out.find(_.getLong(2) == 3L).get // copies == 3
+    assert(aaa.getLong(1) == 1L) // keep_id
+    assert(Dedup.exactSurvivors(d).count() == 2)
+  }
+
+  test("minhash LSH finds near-duplicate pairs, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the deep green forest to find some food for winter"
+    val nearDup = base.replace("winter", "autumn")
+    val unrelated = "completely different words about spark catalyst " +
+      "optimizer plans and shuffle partitions in distributed computing"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated,
+      4L -> base) // exact dup too
+    val pairs = Dedup.minhashNearDups(d, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 4L))) // exact dup always found
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash estimated vs exact jaccard sane") {
+    val j = MinHashKernel.exactJaccard("a b c d e f g", "a b c d e f g", 3)
+    assert(j == 1.0)
+    assert(MinHashKernel.exactJaccard("a b c d e", "x y z w v", 3) == 0.0)
+  }
+
+  test("simhash near-dups: banding guarantees distance ≤ 3; dups found") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val different = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen"
+    // exact duplicate (distance 0) must always be caught; unrelated not
+    val d = docs(1L -> base, 2L -> base, 3L -> different)
+    val pairs = Dedup.simhashNearDups(d, maxDistance = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("brute cosine topk: identical vector ranks first") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.01f, 0.0f)),   // near-identical to 1
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" === 1L)
+    val top = Similarity.bruteCosineTopK(emb, q, k = 2)
+      .orderBy($"rank").as[(Long, Long, Double, Int)].collect()
+    assert(top(0)._2 == 2L) // nearest neighbor
+    assert(top(0)._3 > 0.99)
+  }
+
+  test("lsh buckets group similar vectors; lsh topk subset of brute") {
+    val r = new java.util.Random(5)
+    val emb = (0L until 100L).map { i =>
+      val cluster = (i % 4).toInt
+      val v = Array.tabulate(16)(d =>
+        (if (d % 4 == cluster) 1.0 else 0.0) + r.nextGaussian() * 0.05)
+      (i, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val lsh = Similarity.lshCosineTopK(emb, k = 3)
+    assert(lsh.count() > 0)
+    // every reported neighbor has non-trivial cosine (same cluster)
+    val minCos = lsh.agg(min($"cos")).as[Double].collect()(0)
+    assert(minCos > 0.5)
+  }
+
+  test("cosine near-dups finds planted duplicate") {
+    val v = Seq.tabulate(16)(d => d.toFloat / 16)
+    val emb = Seq((1L, v), (2L, v.map(x => x * 1.001f)),
+      (3L, v.reverse)).toDF("vec_id", "embedding")
+    val dups = Similarity.cosineNearDups(emb, 0.999)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((1L, 2L)))
+  }
+
+  test("language id on real phrases") {
+    assert(LangIdKernel.detect(
+      "the cat is on the mat and the dog was not with you") == "en")
+    assert(LangIdKernel.detect(
+      "el perro y la casa que es de los niños en la calle") == "es")
+    assert(LangIdKernel.detect(
+      "le chat est dans les maisons pour que vous avec une") == "fr")
+    assert(LangIdKernel.detect(
+      "der Hund und die Katze ist nicht mit ein für das") == "de")
+    assert(LangIdKernel.detect("") == "und")
+  }
+
+  test("token counts") {
+    val d = docs(1L -> "one two  three", 2L -> "", 3L -> "hi")
+    val out = d.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(out(1L) == 3 && out(2L) == 0 && out(3L) == 1)
+  }
+
+  test("learning store retention + best pattern") {
+    val patterns = (1 to 600).map(i =>
+      (i.toLong, "passport", i / 1000.0, i.toLong, "v1"))
+      .toDF("pattern_id", "doc_type", "accuracy_score", "created_at", "version")
+    assert(LearningStore.applyRetention(patterns).count() == 500)
+    val best = LearningStore.bestPatterns(patterns).collect()
+    assert(best.length == 1)
+    assert(best(0).getAs[Double]("accuracy_score") == 0.6)
+  }
+
+  test("validation gate passes clean extraction output") {
+    val results = graft.pipeline.ExtractPipeline.extract(
+      graft.pipeline.ExtractPipeline.pages(spark, 200, 4), 4).toDF()
+    val gate = ValidationGate.check(results)
+    assert(gate.total == 200)
+    assert(gate.passed, gate.toString)
+    assert(ValidationGate.distribution(results).count() > 0)
+  }
+
+  test("multimodal features: stub codec roundtrip, batched extraction") {
+    val media = Multimodal.synth(spark, 50, 2)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(_.features.length == Multimodal.FeatureDim))
+    assert(feats.forall(f => f.width > 0 && f.height > 0))
+    val videos = feats.filter(_.kind == "video")
+    assert(videos.nonEmpty && videos.forall(_.n_frames >= 1))
+    val frames = Multimodal.sampleFrames(
+      Multimodal.extractFeatures(media), stride = 5)
+    assert(frames.count() >= 50)
+  }
+
+  test("binaryFile source reads files as pages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    java.nio.file.Files.write(dir.resolve("a.html"),
+      "<html><body><p>hello</p></body></html>".getBytes)
+    val pages = graft.sources.Sources.binaryFiles(spark, dir.toString)
+    val rows = pages.collect()
+    assert(rows.length == 1)
+    assert(rows(0).url.endsWith("a.html"))
+    assert(new String(rows(0).html).contains("hello"))
+  }
+
+  test("payload normalization decodes base64 and data-uris") {
+    val df = Seq(
+      java.util.Base64.getEncoder.encodeToString("abc".getBytes),
+      "data:text/html;base64," +
+        java.util.Base64.getEncoder.encodeToString("xyz".getBytes),
+      "!!!not-base64!!!"
+    ).toDF("payload")
+    val out = graft.sources.Sources.normalizePayload(df, "payload")
+      .select("payload_bytes").as[Array[Byte]].collect()
+    assert(new String(out(0)) == "abc")
+    assert(new String(out(1)) == "xyz")
+    assert(out(2) == null)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import java.nio.file.Files
+
+/** Structured-Streaming shape: file-source backlog → extraction →
+  * parquet sink with checkpoint; watermarked dedup + windowed metrics. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-stream-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("available-now stream extracts the backlog exactly once") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream").toString
+    val inDir = base + "/in"
+    val outDir = base + "/out"
+    val ckDir = base + "/ck"
+    // stage a backlog with a duplicated url (same url+ts)
+    val pages = graft.pipeline.ExtractPipeline.pages(spark, 100, 2)
+    pages.union(pages.limit(5)).write.parquet(inDir)
+
+    val stream = StreamingExtract.readPages(spark, inDir)
+    val results = StreamingExtract.extract(stream)
+    val q = StreamingExtract.writer(results, outDir, ckDir).start()
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 100) // dups dropped
+    assert(out.select("url").distinct().count() == 100)
+
+    // restart with same checkpoint: no new data → no new rows
+    val q2 = StreamingExtract.writer(
+      StreamingExtract.extract(StreamingExtract.readPages(spark, inDir)),
+      outDir, ckDir).start()
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() == 100)
+  }
+
+  test("windowed metrics aggregate docs per event-time window") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream2").toString
+    val inDir = base + "/in"
+    graft.pipeline.ExtractPipeline.pages(spark, 200, 2).write.parquet(inDir)
+    val m = StreamingExtract.metrics(StreamingExtract.readPages(spark, inDir))
+    val q = m.writeStream.outputMode("complete")
+      .format("memory").queryName("m_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT sum(docs) FROM m_out").as[Long].collect()
+    assert(rows(0) == 200)
+  }
+}
