@@ -47,4 +47,6 @@ object LearningStore {
       col("quality.quality_score").as("accuracy_score"),
       col("type_confidence"),
       lit(graft.model.Model.ExtractorVersion).as("version"))
+      // ingestion-order surrogate (no wall-clock in the kernel)
+      .withColumn("created_at", col("pattern_id"))
 }
