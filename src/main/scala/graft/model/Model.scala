@@ -69,6 +69,7 @@ final case class QualityResult(
   */
 final case class Analytics(
     coverage_ratio: Double,
+    readability_index: Double,
     decision_readiness: Readiness,
     quality_band: String,
     requires_manual_review: Boolean,
@@ -112,5 +113,5 @@ final case class LineageRow(
 object Model {
   /** Bump when extraction semantics change (golden fixtures must be
     * regenerated on bump; FIXTURES.md §2). */
-  val ExtractorVersion = "graft-0.1.0"
+  val ExtractorVersion = "graft-0.1.1"
 }

@@ -100,9 +100,12 @@ object Extractor {
     * readiness (C5/C6), analytics assembly (C7, routers/ocr.py:144-175). */
   private def finish(
       row: PageRow,
-      text: String,
+      sanitizedText: String,
       layoutType: String,
       fallbackChain: List[String]): ExtractResult = {
+    // the reference marks a suspicious trailing partial-card zero in EVERY
+    // final text (T4; _build_response, ocr_engine.py:2112-2113)
+    val text = CardScore.markUncertainPartialCardTail(sanitizedText)
     val (docType, typeConfRaw, cards) = CardIntel.analyze(text, layoutType)
     val typeConfidence = pyRound(typeConfRaw, 2)
     val (fields, warnings) = FieldExtractor.extract(text, docType)
@@ -136,6 +139,8 @@ object Extractor {
         math.max(1, row.html.length), 4)
 
     val (lang, country) = LangHints.detect(text)
+    // readability_index = clamped confidence, 4 dp (ocr_engine.py:2134)
+    val readability = pyRound(math.max(0.0, math.min(1.0, confidence)), 4)
 
     ExtractResult(
       url = row.url,
@@ -150,6 +155,7 @@ object Extractor {
       quality = quality,
       analytics = Analytics(
         coverage_ratio = coverage,
+        readability_index = readability,
         decision_readiness = readiness,
         quality_band = band,
         requires_manual_review = requiresReview,
@@ -192,6 +198,7 @@ object Extractor {
       quality = QualityResult(0.0, "UNUSABLE", List("EMPTY_TEXT")),
       analytics = Analytics(
         coverage_ratio = 0.0,
+        readability_index = 0.0,
         decision_readiness = graft.text.Readiness.compute("generic_document", Nil, 0.0),
         quality_band = "poor",
         requires_manual_review = true,
