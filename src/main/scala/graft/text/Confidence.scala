@@ -16,7 +16,7 @@ object Confidence {
   private val wordPattern = uPattern("\\b[a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]{2,}\\b")
 
   def calculate(text: String): Double = {
-    if (text == null || text.trim.isEmpty) return 0.0
+    if (text == null || pyStrip(text).isEmpty) return 0.0
 
     var alnum = 0
     var i = 0

@@ -72,7 +72,8 @@ object Quality {
       (if (has(currency, text)) 1 else 0)
 
   def evaluate(rawText: String, documentType: String): QualityResult = {
-    val text = (if (rawText == null) "" else rawText).trim
+    // Python str.strip() semantics (Unicode whitespace), see pyStrip
+    val text = pyStrip(if (rawText == null) "" else rawText)
     if (text.isEmpty)
       return QualityResult(0.0, "UNUSABLE", Seq("EMPTY_TEXT"))
 

@@ -71,6 +71,16 @@ package object text {
   /** re.sub(r"\s+", " ", s).strip() */
   def collapseWsStrip(s: String): String = collapseWs(s).trim
 
+  /** Python str.strip(): strips Unicode whitespace at both ends
+    * (Java's String.trim is ASCII-only). */
+  def pyStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isPySpace(s.charAt(a))) a += 1
+    while (b > a && isPySpace(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
   /** All runs of digits (re.findall(r"\d+", s)). */
   def digitGroups(s: String): List[String] = {
     val m = uPattern("\\d+").matcher(s)
