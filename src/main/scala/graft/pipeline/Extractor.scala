@@ -63,7 +63,9 @@ object Extractor {
       text = l2
       quality = q2
       if (q2.classification != "GOOD") {
-        // escalate to full text for critical detected types or empty output
+        // escalate to full text for critical detected types or empty output.
+        // NOTE: classification here runs on the pre-mark text; finish()
+        // re-analyzes the marked final text (reference order, O4+C9).
         val (detType, _, _) = CardIntel.analyze(l2, seg.layoutType)
         if (CriticalDocTypes.contains(detType) || l2.isEmpty) {
           chain += "layer3:full_text"
