@@ -109,6 +109,41 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    "q14_top_words" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(20)
+    }),
+
+    "q15_user_set_ops" -> ((s, dir) => {
+      // set-op semantics: purchasers INTERSECT signups, minus one-event
+      // users (EXCEPT) — both operators exercised, non-empty result
+      val ev = t(s, dir, "events")
+      val purchasers = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct()
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id")).distinct()
+      val singletons = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n")).filter(col("n") === 1)
+        .select(col("user_id"))
+      purchasers.intersect(signups).except(singletons)
+        .orderBy(col("user_id"))
+    }),
+
+    "q16_json_props" -> ((s, dir) => {
+      // JSON scalar extraction from the props column
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    }),
+
     // ---- text-analysis operators over documents ------------------------
     "q8_token_counts" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -384,6 +419,23 @@ object SparkEntry {
       ("SELECT source, count(*) AS docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY 1 ORDER BY 1"),
+
+    "q14_top_words" ->
+      ("SELECT word, count(*) AS n FROM (" +
+        "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
+        "FROM documents) WHERE length(word) > 0 " +
+        "GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 20"),
+
+    "q15_user_set_ops" ->
+      ("SELECT user_id FROM (" +
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' " +
+        "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' " +
+        "EXCEPT SELECT user_id FROM events GROUP BY user_id HAVING count(*) = 1" +
+        ") ORDER BY user_id"),
+
+    "q16_json_props" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "count(*) AS n FROM events GROUP BY 1 ORDER BY 1"),
 
     "q13_supply_join" ->
       ("SELECT n_name, " +
