@@ -108,10 +108,12 @@ object Extractor {
     // the reference marks a suspicious trailing partial-card zero in EVERY
     // final text (T4; _build_response, ocr_engine.py:2112-2113)
     val text = CardScore.markUncertainPartialCardTail(sanitizedText)
-    val (docType, typeConfRaw, cards) = CardIntel.analyze(text, layoutType)
+    val lower = text.toLowerCase // shared across all keyword operators
+    val (docType, typeConfRaw, cards) =
+      CardIntel.analyzeLower(text, lower, layoutType)
     val typeConfidence = pyRound(typeConfRaw, 2)
-    val (fields, warnings) = FieldExtractor.extract(text, docType)
-    val confidence = Confidence.calculate(text)
+    val (fields, warnings) = FieldExtractor.extractLower(text, lower, docType)
+    val confidence = Confidence.calculateLower(text, lower)
     val quality = Quality.evaluate(text, docType)
 
     val status =
@@ -140,7 +142,7 @@ object Extractor {
       text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toDouble /
         math.max(1, row.html.length), 4)
 
-    val (lang, country) = LangHints.detect(text)
+    val (lang, country) = LangHints.detectLower(text, lower)
     // readability_index = clamped confidence, 4 dp (ocr_engine.py:2134)
     val readability = pyRound(math.max(0.0, math.min(1.0, confidence)), 4)
 

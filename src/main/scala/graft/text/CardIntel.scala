@@ -159,8 +159,16 @@ object CardIntel {
     * document_intelligence.py:263-305 */
   def analyze(text: String, layoutType: String = "unknown")
       : (String, Double, CardAnalysis) = {
-    val cards = cardAnalysis(if (text == null) "" else text)
-    val (docType, conf) = classifyDocumentType(text, layoutType, cards)
+    val t = if (text == null) "" else text
+    analyzeLower(t, t.toLowerCase, layoutType)
+  }
+
+  /** analyze() with a caller-provided lowercase copy (hot path: the
+    * extractor shares one lowercased text across all operators). */
+  def analyzeLower(text: String, lower: String, layoutType: String)
+      : (String, Double, CardAnalysis) = {
+    val cards = cardAnalysis(text)
+    val (docType, conf) = classifyLower(lower, layoutType, cards)
     (docType, conf, cards)
   }
 
@@ -185,8 +193,13 @@ object CardIntel {
   def classifyDocumentType(
       text: String,
       layoutType: String,
+      cards: CardAnalysis): (String, Double) =
+    classifyLower((if (text == null) "" else text).toLowerCase, layoutType, cards)
+
+  def classifyLower(
+      lower: String,
+      layoutType: String,
       cards: CardAnalysis): (String, Double) = {
-    val lower = (if (text == null) "" else text).toLowerCase
     val found = Matcher.matchedSet(lower)
 
     def scoreOf(setIdx: Int): Int = {

@@ -15,7 +15,11 @@ object Confidence {
   // \b[a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]{2,}\b — confidence.py:45
   private val wordPattern = uPattern("\\b[a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]{2,}\\b")
 
-  def calculate(text: String): Double = {
+  def calculate(text: String): Double =
+    if (text == null) 0.0 else calculateLower(text, text.toLowerCase)
+
+  /** calculate() with a caller-provided lowercase copy. */
+  def calculateLower(text: String, lowerIn: String): Double = {
     if (text == null || pyStrip(text).isEmpty) return 0.0
 
     var alnum = 0
@@ -30,7 +34,7 @@ object Confidence {
     val m = wordPattern.matcher(text)
     while (m.find()) wordCount += 1
 
-    val lower = text.toLowerCase
+    val lower = lowerIn
     var markerScore = 0.0
     Markers.foreach(mk => if (lower.contains(mk)) markerScore += 0.05)
     markerScore = math.min(0.2, markerScore)

@@ -460,6 +460,11 @@ object FieldExtractor {
   /** `extract` — (fields, warnings) for a document type.
     * personal_doc_extractor.py:470-508 */
   def extract(text: String, documentType: String,
+      runYear: Int = DefaultRunYear): (List[FieldRow], List[String]) =
+    extractLower(text, text.toLowerCase, documentType, runYear)
+
+  /** extract() with a caller-provided lowercase copy. */
+  def extractLower(text: String, lower: String, documentType: String,
       runYear: Int = DefaultRunYear): (List[FieldRow], List[String]) = {
     if (GenericDocTypes.contains(documentType)) return (Nil, Nil)
     val definitions =
@@ -467,7 +472,6 @@ object FieldExtractor {
 
     val fields = List.newBuilder[FieldRow]
     val warnings = List.newBuilder[String]
-    val lower = text.toLowerCase
     definitions.foreach { d =>
       if (!OmitFromResponse.contains(d.name)) {
         tryPatternsLower(text, lower, d.patterns).foreach { raw =>

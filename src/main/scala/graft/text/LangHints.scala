@@ -38,7 +38,11 @@ object LangHints {
   /** Returns (language_code, country_code); country may be "". */
   def detect(text: String): (String, String) = {
     val t = if (text == null) "" else text
-    val lower = t.toLowerCase
+    detectLower(t, t.toLowerCase)
+  }
+
+  /** detect() with a caller-provided lowercase copy. */
+  def detectLower(t: String, lower: String): (String, String) = {
     Hints.collectFirst {
       case (pat, gates, lang, country)
           if gates.exists(lower.contains) && pat.matcher(t).find() =>
