@@ -28,7 +28,60 @@ object ContentClassifier {
   private val Short = 1
   private val Good = 2
 
-  /** Per-block labels for the strict classifier. */
+  /** jusText-style stopword density: share of words that are function
+    * words. High-density blocks are running prose (main content); low
+    * density suggests navigation/labels. Multilingual small list (the
+    * corpus langs: en/es/fr/de/pt). */
+  val StopwordMinDensity = 0.18
+  private val Stopwords: java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String](128)
+    Seq(
+      // en
+      "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+      "for", "on", "with", "that", "this", "it", "as", "at", "by", "be",
+      // es
+      "el", "la", "los", "las", "un", "una", "y", "o", "de", "en", "que",
+      "por", "para", "con", "es", "del",
+      // fr
+      "le", "les", "des", "du", "et", "ou", "dans", "pour", "sur", "est",
+      // de
+      "der", "die", "das", "und", "oder", "ist", "mit", "ein", "eine",
+      "für", "auf", "von", "zu",
+      // pt
+      "os", "um", "uma", "e", "ou", "não", "com", "mais", "como", "dos"
+    ).foreach(set.add)
+    set
+  }
+
+  /** Fraction of whitespace tokens that are stopwords (lowercased). */
+  def stopwordDensity(text: String): Double = {
+    var hits = 0
+    var words = 0
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          words += 1
+          // strip trailing punctuation cheaply for the lookup
+          var e = i
+          while (e > start && !Character.isLetter(text.charAt(e - 1))) e -= 1
+          if (e > start &&
+              Stopwords.contains(text.substring(start, e).toLowerCase))
+            hits += 1
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (words == 0) 0.0 else hits.toDouble / words
+  }
+
+  /** Per-block labels for the strict classifier (Boilerpipe word-count +
+    * link-density rules, refined by jusText stopword density: a
+    * long low-link block still needs function-word structure to count as
+    * prose on its own; keyword/field blocks get in via absorption). */
   def labels(blocks: Vector[Block]): Array[Int] = {
     val n = blocks.size
     val lab = new Array[Int](n)
@@ -37,8 +90,10 @@ object ContentClassifier {
       val b = blocks(i)
       lab(i) =
         if (b.inBoiler || b.linkDensity > MaxLinkDensity) Bad
-        else if (b.words >= GoodWords) Good
-        else if (b.words >= MediumWords && b.linkDensity <= MediumMaxLinkDensity) Good
+        else if (b.words >= GoodWords) Good // long blocks: prose or data tables
+        else if (b.words >= MediumWords &&
+                 (b.linkDensity <= MediumMaxLinkDensity ||
+                  stopwordDensity(b.text) >= StopwordMinDensity)) Good
         else Short
       i += 1
     }

@@ -113,5 +113,5 @@ final case class LineageRow(
 object Model {
   /** Bump when extraction semantics change (golden fixtures must be
     * regenerated on bump; FIXTURES.md §2). */
-  val ExtractorVersion = "graft-0.1.1"
+  val ExtractorVersion = "graft-0.1.2"
 }
