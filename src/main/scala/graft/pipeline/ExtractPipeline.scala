@@ -32,12 +32,23 @@ object ExtractPipeline {
     spark.range(0L, n, 1L, partitions).map(i => PagesSynth.row(i))
   }
 
+  /** Shuffle-volume pruning: the engine never reads the raw `text` side
+    * channel (FIXTURES.md §1) — drop its bytes BEFORE the shuffle. On a
+    * real Common-Crawl table `text` is comparable in size to `html`, so
+    * this halves shuffle I/O. */
+  private def pruneForShuffle(pagesDs: Dataset[PageRow]): Dataset[PageRow] = {
+    val spark = pagesDs.sparkSession
+    import spark.implicits._
+    pagesDs.select(col("url"), col("warc_ts"), col("html"),
+      lit("").as("text"), col("lang")).as[PageRow]
+  }
+
   /** The typed map stage over salted url-hash buckets. */
   def extract(pagesDs: Dataset[PageRow], buckets: Int,
       salt: Int = DefaultSalt): Dataset[ExtractResult] = {
     val spark = pagesDs.sparkSession
     import spark.implicits._
-    pagesDs
+    pruneForShuffle(pagesDs)
       .repartition(buckets, pmod(hash(col("url"), lit(salt)), lit(buckets)))
       .mapPartitions(_.map(Extractor.extract))
   }
@@ -83,7 +94,7 @@ object ExtractPipeline {
           .toSet
       } else Set.empty
 
-    val withBucket = pagesDs
+    val withBucket = pruneForShuffle(pagesDs)
       .withColumn("bucket", pmod(hash(col("url"), lit(salt)), lit(buckets)))
 
     val todo =

@@ -43,6 +43,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == 100)
   }
 
+  test("stateful first-seen dedup holds state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[graft.model.PageRow]
+    val deduped = StatefulDedup.firstSeen(source.toDS())
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    // batch 1: rows 0-9; batch 2: rows 5-14 (overlap must be suppressed)
+    source.addData((0L until 10L).map(ExtractPipelineRows.row))
+    q.processAllAvailable()
+    source.addData((5L until 15L).map(ExtractPipelineRows.row))
+    q.processAllAvailable()
+    val urls = spark.sql("SELECT url FROM dedup_out").as[String].collect()
+    assert(urls.length == 15)
+    assert(urls.distinct.length == 15)
+    q.stop()
+  }
+
   test("windowed metrics aggregate docs per event-time window") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream2").toString
@@ -56,4 +75,9 @@ class StreamingSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT sum(docs) FROM m_out").as[Long].collect()
     assert(rows(0) == 200)
   }
+}
+
+/** Tiny alias so the spec reads clearly. */
+object ExtractPipelineRows {
+  def row(i: Long): graft.model.PageRow = graft.pipeline.PagesSynth.row(i)
 }
