@@ -28,11 +28,14 @@ object ExtractJob {
     val lineage = opts.getOrElse("lineage", "/tmp/graft-lineage")
     val runId = opts.getOrElse("run-id", "run-default")
 
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(s"graft-extract-$runId")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // spark-submit injects the master; default to local[*] for bare runs
+    val spark =
+      (if (sys.props.contains("spark.master")) builder
+       else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val defaultBuckets =
