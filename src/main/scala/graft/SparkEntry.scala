@@ -267,6 +267,26 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    "x_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val centroids = graft.ops.IvfIndex.train(emb, k = 16)
+      graft.ops.IvfIndex.topK(emb, centroids, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "x_url_dedup" -> ((s, _) => {
+      // canonical-url dedup over synthesized page urls with injected
+      // tracking-param variants
+      val pages = graft.pipeline.ExtractPipeline.pages(s, 300, 4).toDF()
+        .select(col("url"))
+      val variants = pages.withColumn("url",
+        concat(col("url"), lit("?utm_source=feed")))
+      graft.ops.UrlDedup.dedup(pages.union(variants))
+        .select(col("canonical_url"))
+        .orderBy(col("canonical_url"))
+    }),
+
     // ---- language id ----------------------------------------------------
     "x_langid" -> ((s, dir) => {
       TextAnalysis.withLanguageId(t(s, dir, "documents"))

@@ -125,8 +125,39 @@ object HtmlTokenizer {
   @inline private def isNameChar(c: Char): Boolean =
     isNameStart(c) || (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
 
+  /** Charset sniff over the first 1024 bytes (meta charset=... /
+    * http-equiv content-type), the way real Common-Crawl payloads declare
+    * non-UTF-8 encodings. Only latin-1-family charsets are special-cased;
+    * everything else (incl. utf-8) takes the UTF-8-ignore path. */
+  private[html] def sniffCharset(bytes: Array[Byte]): String = {
+    val n = math.min(bytes.length, 1024)
+    val head = new String(bytes, 0, n,
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+    val i = head.indexOf("charset=")
+    if (i < 0) return "utf-8"
+    var j = i + "charset=".length
+    while (j < head.length && (head.charAt(j) == '"' || head.charAt(j) == '\'' ||
+           head.charAt(j) == ' ')) j += 1
+    val start = j
+    while (j < head.length && (Character.isLetterOrDigit(head.charAt(j)) ||
+           head.charAt(j) == '-' || head.charAt(j) == '_')) j += 1
+    head.substring(start, j) match {
+      case "iso-8859-1" | "latin-1" | "latin1" | "windows-1252" | "cp1252" =>
+        "latin-1"
+      case _ => "utf-8"
+    }
+  }
+
+  /** Decode per sniffed charset; latin-1 is total (no invalid bytes). */
+  def decodeBytes(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.isEmpty) ""
+    else if (sniffCharset(bytes) == "latin-1")
+      new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    else decodeUtf8Ignore(bytes)
+  }
+
   /** Parse HTML bytes into a DOM arena. Never throws on malformed input. */
-  def parse(bytes: Array[Byte]): DomArena = parseString(decodeUtf8Ignore(bytes))
+  def parse(bytes: Array[Byte]): DomArena = parseString(decodeBytes(bytes))
 
   def parseString(doc: String): DomArena = {
     val b = new DomArena.Builder(math.max(64, doc.length / 32))

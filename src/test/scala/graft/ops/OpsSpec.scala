@@ -163,6 +163,49 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(rows(0).html).contains("hello"))
   }
 
+  test("url canonicalization + dedup") {
+    assert(UrlDedup.canonicalize("HTTP://Example.COM:80/a/?utm_source=x&b=1#frag")
+      == "http://example.com/a?b=1")
+    assert(UrlDedup.canonicalize("https://h.example/p/") == "https://h.example/p")
+    assert(UrlDedup.canonicalize("not a url") == "not a url")
+    val df = Seq(
+      "https://a.example/p?utm_source=tw",
+      "https://a.example/p",
+      "https://a.example/q").toDF("url")
+    val out = UrlDedup.dedup(df)
+    assert(out.count() == 2)
+  }
+
+  test("ivf index: train centroids, same-cluster neighbors found") {
+    val r = new java.util.Random(11)
+    val emb = (0L until 120L).map { i =>
+      val cluster = (i % 3).toInt
+      val v = Array.tabulate(12)(d =>
+        (if (d % 3 == cluster) 1.0 else 0.0) + r.nextGaussian() * 0.03)
+      (i, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val centroids = IvfIndex.train(emb, k = 6)
+    assert(centroids.nonEmpty && centroids.forall(_.length == 12))
+    val top = IvfIndex.topK(emb, centroids, k = 3)
+    assert(top.count() > 0)
+    // all reported neighbors are same-cluster (high cosine)
+    val minCos = top.agg(min($"cos")).as[Double].collect()(0)
+    assert(minCos > 0.8, s"minCos $minCos")
+  }
+
+  test("charset sniffing decodes latin-1 pages") {
+    val html = "<html><head><meta charset=\"iso-8859-1\"></head>" +
+      "<body><p>caf\u00e9</p></body></html>"
+    val bytes = html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val seg = graft.html.BlockSegmenter.segment(graft.html.HtmlTokenizer.parse(bytes))
+    assert(seg.blocks.exists(_.text.contains("café")))
+    // same bytes without the meta: é byte is invalid utf-8 → dropped
+    val html2 = "<html><body><p>caf\u00e9</p></body></html>"
+    val bytes2 = html2.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val seg2 = graft.html.BlockSegmenter.segment(graft.html.HtmlTokenizer.parse(bytes2))
+    assert(seg2.blocks.exists(_.text.contains("caf")))
+  }
+
   test("payload normalization decodes base64 and data-uris") {
     val df = Seq(
       java.util.Base64.getEncoder.encodeToString("abc".getBytes),
