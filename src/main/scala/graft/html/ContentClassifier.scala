@@ -116,16 +116,8 @@ object ContentClassifier {
   }
 
   /** layer1 — blocks labeled Good by the density classifier, in order. */
-  def mainContent(blocks: Vector[Block]): Vector[Block] = {
-    val lab = labels(blocks)
-    val out = Vector.newBuilder[Block]
-    var i = 0
-    while (i < blocks.size) {
-      if (lab(i) == Good) out += blocks(i)
-      i += 1
-    }
-    out.result()
-  }
+  def mainContent(blocks: Vector[Block]): Vector[Block] =
+    select(blocks, labels(blocks), Good)
 
   /** layer2 — all non-boilerplate, non-link-farm blocks. */
   def allContent(blocks: Vector[Block]): Vector[Block] =
@@ -133,6 +125,28 @@ object ContentClassifier {
 
   /** layer3 — everything. */
   def fullText(blocks: Vector[Block]): Vector[Block] = blocks
+
+  private def select(blocks: Vector[Block], lab: Array[Int],
+      want: Int): Vector[Block] = {
+    val out = Vector.newBuilder[Block]
+    var i = 0
+    while (i < blocks.size) {
+      if (lab(i) == want) out += blocks(i)
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Both ladder layers from ONE labeling pass: (main, all, identical?).
+    * `identical` when every non-boiler low-link block is already Good —
+    * the extractor then reuses layer-1's text/quality for layer 2. */
+  def ladderLayers(blocks: Vector[Block])
+      : (Vector[Block], Vector[Block], Boolean) = {
+    val lab = labels(blocks)
+    val main = select(blocks, lab, Good)
+    val all = allContent(blocks)
+    (main, all, main.size == all.size)
+  }
 
   /** Accepted blocks joined in document order with "\n\n" — the same
     * assembly contract as region extraction (K12,

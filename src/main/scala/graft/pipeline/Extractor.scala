@@ -49,17 +49,19 @@ object Extractor {
     // full text; each layer evaluated structurally ("other": no doc-type
     // bonus yet, matching the router's pre-classification evaluation).
     chain += "layer1:density_classifier"
-    val l1 = Sanitizer.sanitize(
-      ContentClassifier.assemble(ContentClassifier.mainContent(seg.blocks)))
+    val (mainBlocks, allBlocks, layersIdentical) =
+      ContentClassifier.ladderLayers(seg.blocks)
+    val l1 = Sanitizer.sanitize(ContentClassifier.assemble(mainBlocks))
     val q1 = Quality.evaluate(l1, "other")
 
     var text = l1
     var quality = q1
     if (q1.classification != "GOOD") {
       chain += "layer2:all_content"
-      val l2 = Sanitizer.sanitize(
-        ContentClassifier.assemble(ContentClassifier.allContent(seg.blocks)))
-      val q2 = Quality.evaluate(l2, "other")
+      // layer 2 recomputes only when it actually differs from layer 1
+      val l2 = if (layersIdentical) l1
+        else Sanitizer.sanitize(ContentClassifier.assemble(allBlocks))
+      val q2 = if (layersIdentical) q1 else Quality.evaluate(l2, "other")
       text = l2
       quality = q2
       if (q2.classification != "GOOD") {
