@@ -144,6 +144,33 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    "q17_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity"))).cast("long").as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q18_sessionize" -> ((s, dir) => {
+      // 30-minute-gap sessionization per user (lag + cumulative sum)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_micros(col("ts").cast("timestamp")) -
+             unix_micros(col("prev_ts").cast("timestamp"))) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // ---- text-analysis operators over documents ------------------------
     "q8_token_counts" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -439,6 +466,23 @@ object SparkEntry {
       ("SELECT source, count(*) AS docs, " +
         "CAST(sum(n_chars) AS BIGINT) AS total_chars " +
         "FROM documents GROUP BY 1 ORDER BY 1"),
+
+    "q17_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(round(sum(l_quantity)) AS BIGINT) AS qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+
+    "q18_sessionize" ->
+      ("SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions, count(*) AS n_events " +
+        "FROM (SELECT user_id, " +
+        "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id " +
+        "FROM (SELECT user_id, ts, event_id, " +
+        "CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) " +
+        "IS NULL OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY " +
+        "user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END " +
+        "AS new_session FROM events)) GROUP BY 1 ORDER BY 1"),
 
     "q14_top_words" ->
       ("SELECT word, count(*) AS n FROM (" +
