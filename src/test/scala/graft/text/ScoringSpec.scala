@@ -177,6 +177,43 @@ class ScoringSpec extends AnyFunSuite {
     assert(Normalizer.receiptItems("9.99") == Nil)
   }
 
+  test("quality: strong bank statement text scores usable (reference mirror)") {
+    val text = "Account Number: 123456789\n" +
+      "Statement period: 01/01/2026 - 01/31/2026\n" +
+      "01/02 Grocery Store $12.30\n01/04 Salary USD 2100.00\n" +
+      "01/05 Utility USD 94.50"
+    val q = Quality.evaluate(text, "bank_statement")
+    assert(q.quality_score >= 0.6)
+    assert(Set("GOOD", "PARTIAL").contains(q.classification))
+  }
+
+  test("normalizer assembles receipt/invoice schema (reference mirror)") {
+    val text = "Merchant: Corner Shop\nDate: 02/14/2026\nTotal Amount: USD 32.50"
+    val r = Normalizer.normalizeReceiptInvoice(text)
+    assert(r.total_amount.isDefined)
+    assert(r.merchant.contains("Corner Shop"))
+    assert(r.date.contains("02/14/2026"))
+  }
+
+  test("normalizer assembles bank statement schema") {
+    val text = "Account Holder: ALICE BROWN\nAccount Number: GB29BARC20031536\n" +
+      "Statement Period: 01/2024 - 02/2024\n" +
+      "01/02/2024 coffee 4.50\nBalance USD 950.00"
+    val b = Normalizer.normalizeBankStatement(text)
+    assert(b.account_holder.isDefined)
+    assert(b.account_number.isDefined)
+    assert(b.currency.contains("USD"))
+    assert(b.transactions.nonEmpty)
+  }
+
+  test("normalizer assembles loan application schema") {
+    val text = "Name: JOHN DOE\nAddress: 12 Baker Street London\n" +
+      "Employer: ACME Corp\nIncome: $5,000\nLoan Amount: $20,000"
+    val l = Normalizer.normalizeLoanApplication(text)
+    assert(l.name.isDefined && l.employer.isDefined)
+    assert(l.income.isDefined && l.amount.isDefined)
+  }
+
   test("firstMatch returns group 1") {
     assert(Normalizer.firstMatch("Total: $15.00",
       "(?i)(?:total)[:\\s-]*([\\$A-Z]{0,3}\\s?\\d+[\\d,\\.]{0,20})") ==
