@@ -18,7 +18,19 @@ import graft.sources.Sources
   */
 object ExtractJob {
 
+  private val KnownOpts =
+    Set("input", "output", "lineage", "run-id", "buckets")
+
   def main(args: Array[String]): Unit = {
+    // strict parsing: a dangling or unknown flag must not silently fall
+    // back to defaults (it would resume someone else's lineage dir)
+    if (args.length % 2 != 0 || args.grouped(2).exists(p =>
+        !p(0).startsWith("--") || !KnownOpts.contains(p(0).drop(2)))) {
+      System.err.println(
+        "usage: ExtractJob --input <parquet|synth:N> --output <dir> " +
+          "--lineage <dir> --run-id <id> [--buckets B]")
+      sys.exit(2)
+    }
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
