@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -274,11 +274,15 @@ object SparkEntry {
     }),
 
     // ---- similarity / ANN ----------------------------------------------
+    // exact brute-force baseline — DuckDB-oracled: cosine folds run in
+    // double precision left-to-right on both sides (bit-identical), the
+    // reported score is an e6-scaled BIGINT
     "x_ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
       Similarity.bruteCosineTopK(emb, queries, k = 5)
-        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos") * 1000000).cast("long").as("cos_e6"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -294,23 +298,74 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
 
+    // exact all-pairs twin of x_cosine_neardups (oracle + recall baseline)
+    "x_cosine_exact" -> ((s, dir) => {
+      Similarity.exactCosineNearDups(t(s, dir, "embeddings"), threshold = 0.3)
+        .select(col("a"), col("b"),
+          round(col("cos") * 1000000).cast("long").as("cos_e6"))
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // exact pairwise word-shingle Jaccard (the oracle twin the minhash
+    // estimate approximates): top-100 closest pairs on a doc_id%5 sample,
+    // pure built-in array functions (codegen) on the Spark side
+    "x_jaccard_exact" -> ((s, dir) => {
+      val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+      val d = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("nt", size(col("toks")))
+        .withColumn("sh",
+          when(col("nt") >= 3, array_distinct(
+            transform(sequence(lit(1), col("nt") - 2), i =>
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2)))))
+            .when(col("nt") > 0, array(concat_ws(" ", col("toks"))))
+            .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), col("sh"))
+      val a = d.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+      val b = d.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val pairs = a.join(broadcast(b), col("a") < col("b"))
+        .withColumn("inter", inter)
+        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("uni") > 0)
+        .withColumn("jac_e6",
+          round(col("inter") * lit(1000000.0) / col("uni")).cast("long"))
+      pairs
+        .orderBy(col("jac_e6").desc, col("a").asc, col("b").asc)
+        .limit(100)
+        .select(col("a"), col("b"), col("jac_e6"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "x_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val centroids = graft.ops.IvfIndex.train(emb, k = 16)
-      graft.ops.IvfIndex.topK(emb, centroids, k = 5)
+      val centroids = graft.ops.IvfIndex.train(emb) // k = ⌈√n⌉, 2 Lloyd iters
+      graft.ops.IvfIndex.topK(emb, centroids, k = 5) // nprobe = 2
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    "x_url_dedup" -> ((s, _) => {
-      // canonical-url dedup over synthesized page urls with injected
-      // tracking-param variants
-      val pages = graft.pipeline.ExtractPipeline.pages(s, 300, 4).toDF()
-        .select(col("url"))
-      val variants = pages.withColumn("url",
-        concat(col("url"), lit("?utm_source=feed")))
-      graft.ops.UrlDedup.dedup(pages.union(variants))
-        .select(col("canonical_url"))
+    // canonical-url dedup — DuckDB-oracled: three deterministic crawl
+    // variants per doc (uppercase host + default port + trailing slash;
+    // tracking params + unsorted query + fragment; tracking-only query),
+    // canonicalized by the real UDF, grouped; the oracle derives the
+    // expected canonical form independently with string SQL
+    "x_url_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 100)
+      val urls = base.select(col("doc_id"), explode(array(
+        concat(lit("https://EXAMPLE.com:443/a/"),
+          col("doc_id").cast("string"), lit("/")),
+        concat(lit("https://example.com/a/"), col("doc_id").cast("string"),
+          lit("?utm_source=feed&b=2&a=1#frag")),
+        concat(lit("https://example.com/a/"), col("doc_id").cast("string"),
+          lit("/?utm_medium=x")))).as("url"))
+      graft.ops.UrlDedup.withCanonicalUrl(urls)
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_variants"), min(col("url")).as("first_url"))
         .orderBy(col("canonical_url"))
     }),
 
@@ -337,40 +392,109 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame"))
     }),
 
-    // ---- learning-pattern store (S8) + validation gate (O12) ------------
-    "x_learning_patterns" -> ((s, _) => {
-      val results = graft.pipeline.ExtractPipeline
-        .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
+    // ---- learning-pattern store (S8) — oracled over documents ----------
+    // pattern rows derived relationally (accuracy = quality proxy as an
+    // e6 BIGINT, created_at/pattern_id = doc_id), then the REAL
+    // LearningStore operators: retention window + best-per-type max_by.
+    // The extraction-driven variant (fromExtraction) is OpsSpec-covered.
+    "x_learning_patterns" -> ((s, dir) => {
+      val patterns = t(s, dir, "documents").select(
+        col("doc_id").as("pattern_id"),
+        col("source").as("doc_type"),
+        qualityScoreE6(col("text")).as("accuracy_score"),
+        col("doc_id").as("created_at"),
+        lit(graft.model.Model.ExtractorVersion).as("version"))
       graft.ops.LearningStore.bestPatterns(
-        graft.ops.LearningStore.fromExtraction(results))
-        .select(col("doc_type"), col("accuracy_score"), col("version"))
+        graft.ops.LearningStore.applyRetention(patterns, keep = 20))
+        .select(col("doc_type"), col("accuracy_score"), col("pattern_id"))
         .orderBy(col("doc_type"))
     }),
 
-    "x_validation_stats" -> ((s, _) => {
-      val results = graft.pipeline.ExtractPipeline
-        .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
-      graft.ops.ValidationGate.distribution(results)
-        .orderBy(col("document_type"))
+    // ---- validation gate (O12) — relational profile, oracled -----------
+    "x_validation_stats" -> ((s, dir) => {
+      graft.ops.ValidationGate.profile(t(s, dir, "documents"),
+        typeCol = "source", textCol = "text")
+        .orderBy(col("gtype"))
     }),
 
-    // ---- fintech normalizer (T16-T19) over extracted text ---------------
+    // ---- drift compare (O12 verdict half) — oracled ---------------------
+    // current/baseline = deterministic doc_id parity split of the same
+    // table; per-lang share + mean-chars deltas with a ppm threshold
+    "x_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.ValidationGate.drift(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        typeCol = "lang", metricCol = "n_chars")
+        .orderBy(col("gtype"))
+    }),
+
+    // ---- active-learning sampler (O11) — oracled quantile twin ---------
+    // clusters = ntile(8) over (n_chars, doc_id); uncertainty = 1 − the
+    // C4-style quality proxy (e6 BIGINT); top-5 per cluster. The
+    // embedding/KMeans variant (sampleByEmbedding) is OpsSpec-covered.
+    "x_al_sampling" -> ((s, dir) => {
+      val pool = t(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        (lit(1000000L) - qualityScoreE6(col("text"))).as("uncertainty_e6"))
+      graft.ops.ActiveLearning.sampleByQuantile(pool,
+        idCol = "doc_id", orderCol = "n_chars",
+        uncertaintyCol = "uncertainty_e6", nClusters = 8, perCluster = 5)
+        .select(col("cluster"), col("doc_id"), col("uncertainty_e6"),
+          col("sel_rank"))
+        .orderBy(col("cluster"), col("sel_rank"))
+    }),
+
+    // ---- fintech normalizer (T16-T18) — oracled over synthesized lines -
+    // deterministic receipt-ish texts built from doc_id with identical
+    // expressions on both sides; counts come from the REAL Normalizer
+    // kernels via ONE struct-returning UDF (one text pass)
+    "x_normalize_lines" -> ((s, dir) => {
+      val txt = concat(
+        lit("Merchant: Store "), (col("doc_id") % 7).cast("string"), lit("\n"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("01/0"), (col("doc_id") % 9 + 1).cast("string"),
+            lit("/2024 payment 123.45")))
+          .otherwise(lit("no date on this line")), lit("\n"),
+        when(col("doc_id") % 3 === 0, lit(""))
+          .otherwise(lit("item thing 9.99")), lit("\n"),
+        lit("total 42.00"))
+      val countsUdf = udf((t: String) => graft.text.Normalizer.counts(t))
+      t(s, dir, "documents")
+        .select(col("doc_id"), countsUdf(txt).as("c"))
+        .select(col("doc_id"), col("c.n_sections").as("n_sections"),
+          col("c.n_txn_lines").as("n_txn_lines"),
+          col("c.n_receipt_items").as("n_receipt_items"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- fintech normalizer over extracted text (rows-only; golden) -----
     "x_extract_normalized" -> ((s, _) => {
       val results = graft.pipeline.ExtractPipeline
         .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
-      val sectionsUdf = udf((t: String) =>
-        graft.text.Normalizer.splitSections(t).size)
-      val txnUdf = udf((t: String) =>
-        graft.text.Normalizer.transactionLines(t).size)
-      val itemsUdf = udf((t: String) =>
-        graft.text.Normalizer.receiptItems(t).size)
-      results.select(col("url"),
-        sectionsUdf(col("text")).as("n_sections"),
-        txnUdf(col("text")).as("n_txn_lines"),
-        itemsUdf(col("text")).as("n_receipt_items"))
+      val countsUdf = udf((t: String) => graft.text.Normalizer.counts(t))
+      results.select(col("url"), countsUdf(col("text")).as("c"))
+        .select(col("url"), col("c.n_sections").as("n_sections"),
+          col("c.n_txn_lines").as("n_txn_lines"),
+          col("c.n_receipt_items").as("n_receipt_items"))
         .orderBy(col("url"))
     })
   )
+
+  /** C4-style quality proxy as an e6-scaled BIGINT — shared by the
+    * learning-store and sampling queries and their DuckDB oracles:
+    * 0.35·min(len/700,1) + 0.35·alnum_ratio + 0.30·printable_ratio,
+    * evaluated left-to-right in double (bit-identical cross-engine). */
+  private def qualityScoreE6(text: Column): Column = {
+    val len = length(text)
+    val alnum = length(regexp_replace(text, "[^A-Za-z0-9]", ""))
+    val printable = length(regexp_replace(text, "[^ -~]", ""))
+    val score =
+      lit(0.35) * least(len.cast("double") / 700.0, lit(1.0)) +
+        lit(0.35) * (alnum.cast("double") * 1.0 / greatest(len, lit(1))) +
+        lit(0.30) * (printable.cast("double") * 1.0 / greatest(len, lit(1)))
+    round(score * 1000000).cast("long")
+  }
 
   /** DuckDB-equivalent SQL per SQL-expressible query (same aliases, same
     * ordering; cents-as-BIGINT to keep float association error out of the
@@ -507,6 +631,159 @@ object SparkEntry {
         "AS revenue_cents, count(*) AS n_items " +
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "JOIN nation ON s_nationkey = n_nationkey " +
-        "GROUP BY 1 ORDER BY 1")
+        "GROUP BY 1 ORDER BY 1"),
+
+    // cosine folds are left-to-right double on both engines → the raw
+    // doubles are bit-identical; e6 scaling only makes the hash stable
+    "x_ann_brute" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_inner_product(q.v, c.v) / (sqrt(list_inner_product(q.v, q.v)) * " +
+        "sqrt(list_inner_product(c.v, c.v))) AS cos " +
+        "FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10), " +
+        "r AS (SELECT query_id, neighbor_id, cos, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM j) " +
+        "SELECT query_id, neighbor_id, rank, " +
+        "CAST(round(cos * 1000000) AS BIGINT) AS cos_e6 " +
+        "FROM r WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    "x_cosine_exact" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "p AS (SELECT a.vec_id AS a, b.vec_id AS b, " +
+        "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * " +
+        "sqrt(list_inner_product(b.v, b.v))) AS cos " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+        "SELECT a, b, CAST(round(cos * 1000000) AS BIGINT) AS cos_e6 " +
+        "FROM p WHERE cos >= 0.3 ORDER BY a, b"),
+
+    "x_jaccard_exact" ->
+      ("WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+        "lower(text), '\\s+'), t -> t <> '') AS toks " +
+        "FROM documents WHERE doc_id % 5 = 0), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
+        "list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +
+        "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] " +
+        "ELSE [] END AS sh FROM d), " +
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b, " +
+        "len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) + len(b.sh) AS szsum FROM s a JOIN s b ON a.doc_id < b.doc_id), " +
+        "j AS (SELECT a, b, CAST(round(inter * 1000000.0 / (szsum - inter)) " +
+        "AS BIGINT) AS jac_e6 FROM p WHERE szsum - inter > 0) " +
+        "SELECT a, b, jac_e6 FROM j ORDER BY jac_e6 DESC, a ASC, b ASC LIMIT 100"),
+
+    "x_langid" ->
+      ("WITH t AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(" +
+        "lower(text), '[^\\p{L}]+'), x -> x <> '') AS toks FROM documents), " +
+        "s AS (SELECT doc_id, lang, " +
+        "len(list_filter(toks, x -> list_contains(['the','and','of','is','that','with','for','this','are','was','not','you'], x))) AS s_en, " +
+        "len(list_filter(toks, x -> list_contains(['el','la','los','las','que','de','en','por','para','una','con','es'], x))) AS s_es, " +
+        "len(list_filter(toks, x -> list_contains(['le','les','des','une','est','dans','pour','que','qui','avec','sur','pas'], x))) AS s_fr, " +
+        "len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','f\u00fcr','auf','werden'], x))) AS s_de, " +
+        "len(list_filter(toks, x -> list_contains(['o','os','das','um','uma','n\u00e3o','com','para','por','mais','como','foi'], x))) AS s_pt " +
+        "FROM t) " +
+        "SELECT doc_id, lang, CASE " +
+        "WHEN greatest(s_en, s_es, s_fr, s_de, s_pt) = 0 THEN 'und' " +
+        "WHEN s_en = greatest(s_en, s_es, s_fr, s_de, s_pt) THEN 'en' " +
+        "WHEN s_es = greatest(s_en, s_es, s_fr, s_de, s_pt) THEN 'es' " +
+        "WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_pt) THEN 'fr' " +
+        "WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_pt) THEN 'de' " +
+        "ELSE 'pt' END AS lang_pred FROM s ORDER BY doc_id"),
+
+    // expected canonical forms derived independently from the known
+    // variant shapes (the Spark side runs the real URI canonicalizer)
+    "x_url_dedup" ->
+      ("WITH u AS (SELECT doc_id, unnest([" +
+        "'https://EXAMPLE.com:443/a/' || doc_id || '/', " +
+        "'https://example.com/a/' || doc_id || '?utm_source=feed&b=2&a=1#frag', " +
+        "'https://example.com/a/' || doc_id || '/?utm_medium=x']) AS url " +
+        "FROM documents WHERE doc_id < 100), " +
+        "c AS (SELECT url, CASE WHEN url LIKE '%#frag' THEN " +
+        "'https://example.com/a/' || doc_id || '?a=1&b=2' " +
+        "ELSE 'https://example.com/a/' || doc_id END AS canonical_url FROM u) " +
+        "SELECT canonical_url, count(*) AS n_variants, min(url) AS first_url " +
+        "FROM c GROUP BY 1 ORDER BY 1"),
+
+    "x_learning_patterns" ->
+      ("WITH p AS (SELECT doc_id AS pattern_id, source AS doc_type, " +
+        qualityScoreE6Sql +
+        " AS accuracy_score, doc_id AS created_at FROM documents), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_type " +
+        "ORDER BY created_at DESC, pattern_id ASC) AS rn FROM p), " +
+        "b AS (SELECT *, row_number() OVER (PARTITION BY doc_type " +
+        "ORDER BY accuracy_score DESC, created_at DESC, pattern_id ASC) AS rn2 " +
+        "FROM r WHERE rn <= 20) " +
+        "SELECT doc_type, accuracy_score, pattern_id FROM b WHERE rn2 = 1 " +
+        "ORDER BY doc_type"),
+
+    "x_validation_stats" ->
+      ("SELECT source AS gtype, count(*) AS docs, " +
+        "CAST(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, " +
+        "CAST(sum(CASE WHEN length(text) < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_short, " +
+        "CAST(sum(length(text)) AS BIGINT) AS sum_chars, " +
+        "CAST(round(sum(length(text)) * 100.0 / greatest(count(*), 1)) AS BIGINT) AS mean_chars_e2, " +
+        "(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END) = 0) AS passed " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
+
+    "x_drift" ->
+      ("WITH cur AS (SELECT lang AS gtype, count(*) AS n_cur, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_cur FROM documents " +
+        "WHERE doc_id % 2 = 1 GROUP BY 1), " +
+        "base AS (SELECT lang AS gtype, count(*) AS n_base, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sum_base FROM documents " +
+        "WHERE doc_id % 2 = 0 GROUP BY 1), " +
+        "j AS (SELECT COALESCE(cur.gtype, base.gtype) AS gtype, " +
+        "COALESCE(n_cur, 0) AS n_cur, COALESCE(n_base, 0) AS n_base, " +
+        "COALESCE(sum_cur, 0) AS sum_cur, COALESCE(sum_base, 0) AS sum_base " +
+        "FROM cur FULL OUTER JOIN base ON cur.gtype = base.gtype), " +
+        "tt AS (SELECT *, sum(n_cur) OVER () AS tot_cur, " +
+        "sum(n_base) OVER () AS tot_base FROM j), " +
+        "f AS (SELECT gtype, n_cur, n_base, " +
+        "CAST(round(n_cur * 1000000.0 / greatest(tot_cur, 1)) AS BIGINT) AS share_cur_ppm, " +
+        "CAST(round(n_base * 1000000.0 / greatest(tot_base, 1)) AS BIGINT) AS share_base_ppm, " +
+        "CAST(round((CAST(sum_cur AS DOUBLE) / greatest(n_cur, 1) - " +
+        "CAST(sum_base AS DOUBLE) / greatest(n_base, 1)) * 100) AS BIGINT) AS mean_delta_e2 " +
+        "FROM tt) " +
+        "SELECT gtype, n_cur, n_base, share_cur_ppm, share_base_ppm, " +
+        "share_cur_ppm - share_base_ppm AS share_delta_ppm, mean_delta_e2, " +
+        "(abs(share_cur_ppm - share_base_ppm) > 50000) AS drifted " +
+        "FROM f ORDER BY gtype"),
+
+    "x_al_sampling" ->
+      ("WITH f AS (SELECT doc_id, n_chars, 1000000 - " + qualityScoreE6Sql +
+        " AS uncertainty_e6 FROM documents), " +
+        "c AS (SELECT doc_id, uncertainty_e6, ntile(8) OVER " +
+        "(ORDER BY n_chars ASC, doc_id ASC) AS cluster FROM f), " +
+        "r AS (SELECT cluster, doc_id, uncertainty_e6, row_number() OVER " +
+        "(PARTITION BY cluster ORDER BY uncertainty_e6 DESC, doc_id ASC) AS sel_rank FROM c) " +
+        "SELECT cluster, doc_id, uncertainty_e6, sel_rank FROM r " +
+        "WHERE sel_rank <= 5 ORDER BY cluster, sel_rank"),
+
+    "x_normalize_lines" ->
+      ("WITH t AS (SELECT doc_id, " +
+        "'Merchant: Store ' || (doc_id % 7) || chr(10) || " +
+        "CASE WHEN doc_id % 2 = 0 THEN '01/0' || (doc_id % 9 + 1) || " +
+        "'/2024 payment 123.45' ELSE 'no date on this line' END || chr(10) || " +
+        "CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'item thing 9.99' END || " +
+        "chr(10) || 'total 42.00' AS txt FROM documents), " +
+        "l AS (SELECT doc_id, txt, string_split(txt, chr(10)) AS lines FROM t) " +
+        "SELECT doc_id, " +
+        "len(list_filter(regexp_split_to_array(txt, '\\n\\s*\\n'), " +
+        "s -> trim(s) <> '')) AS n_sections, " +
+        "len(list_filter(lines, x -> regexp_matches(x, " +
+        "'\\d{1,2}[/-]\\d{1,2}(?:[/-]\\d{2,4})?') AND regexp_matches(x, " +
+        "'[-+]?\\$?\\d+[\\d,]*\\.\\d{2}'))) AS n_txn_lines, " +
+        "least(25, len(list_filter(lines, x -> regexp_matches(x, " +
+        "'\\d+[\\d,]*\\.\\d{2}') AND len(list_filter(" +
+        "regexp_split_to_array(trim(x), '\\s+'), t2 -> t2 <> '')) >= 2))) " +
+        "AS n_receipt_items FROM l ORDER BY doc_id")
   )
+
+  /** DuckDB rendering of [[qualityScoreE6]] — identical operation order. */
+  private val qualityScoreE6Sql: String =
+    "CAST(round((0.35 * least(length(text) / 700.0, 1.0) + " +
+      "0.35 * (length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 " +
+      "/ greatest(length(text), 1)) + " +
+      "0.30 * (length(regexp_replace(text, '[^ -~]', '', 'g')) * 1.0 " +
+      "/ greatest(length(text), 1))) * 1000000) AS BIGINT)"
 }

@@ -45,6 +45,15 @@ object Dedup {
   val Bands = 16 // 16 bands × 4 rows
   val RowsPerBand: Int = NumPerm / Bands
 
+  /** Per-band bucket population cap. A 100 TB crawl carries millions of
+    * near-identical boilerplate pages that land in the SAME band bucket;
+    * without a cap that one bucket yields O(m²) pairs and an OOM-sized
+    * row. Capped buckets keep the `bucketCap` lowest doc_ids (documented
+    * recall loss in pathological buckets — byte-identical mass dups are
+    * handled by the exact pre-pass below, so real-world hot buckets are
+    * already collapsed before this runs). */
+  val DefaultBucketCap = 2000
+
   /** 64-perm MinHash signature per doc (narrow map; one text pass). */
   def minhashSignatures(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
     val sigUdf = udf((text: String) =>
@@ -52,29 +61,62 @@ object Dedup {
     docs.select(col("doc_id"), sigUdf(col("text")).as("sig"))
   }
 
-  /** LSH candidate pairs: docs sharing any band bucket (a < b). */
-  def minhashCandidates(docs: DataFrame, shingleSize: Int = 3): DataFrame = {
+  /** LSH candidate pairs: docs sharing any band bucket (a < b).
+    * Shape: explode to (band, band_hash, doc_id) rows → per-bucket size
+    * cap via window row_number → bucket self-join with `a < b`. No
+    * collected id arrays, no m² UDF — the join output is bounded by
+    * cap²/2 per bucket and every row is (long, long). */
+  def minhashCandidates(docs: DataFrame, shingleSize: Int = 3,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val sigs = minhashSignatures(docs, shingleSize)
     val banded = sigs.select(
       col("doc_id"),
       posexplode(bandHashes(col("sig"))).as(Seq("band", "band_hash")))
-    val buckets = banded
-      .groupBy(col("band"), col("band_hash"))
-      .agg(collect_set(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-    // pairs within a bucket (sorted ids → a < b), dedup across bands
-    buckets
-      .select(explode(pairsFromIds(col("ids"))).as("pair"))
-      .select(col("pair._1").as("a"), col("pair._2").as("b"))
+    val w = Window.partitionBy(col("band"), col("band_hash"))
+      .orderBy(col("doc_id"))
+    val capped = banded
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bucketCap)
+      .drop("rn")
+    val left = capped.select(col("band"), col("band_hash"),
+      col("doc_id").as("a"))
+    val right = capped.select(col("band"), col("band_hash"),
+      col("doc_id").as("b"))
+    left.join(right, Seq("band", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
       .distinct()
   }
 
+  /** Bucket-cap drop accounting: rows dropped per (band, band_hash) by
+    * the cap — `log()` this next to the candidate count so a silent
+    * recall loss never reads as full coverage. */
+  def minhashBucketDrops(docs: DataFrame, shingleSize: Int = 3,
+      bucketCap: Int = DefaultBucketCap): Long = {
+    val sigs = minhashSignatures(docs, shingleSize)
+    sigs.select(
+      col("doc_id"),
+      posexplode(bandHashes(col("sig"))).as(Seq("band", "band_hash")))
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(greatest(col("n") - bucketCap, lit(0L))), lit(0L)))
+      .collect()(0).getLong(0)
+  }
+
   /** Near-dup pairs with estimated Jaccard ≥ threshold (from signature
-    * agreement), then exact n-gram Jaccard verification. */
+    * agreement), then exact n-gram Jaccard verification.
+    *
+    * Exact-duplicate pre-pass (`exactPrepass`, default on): byte-identical
+    * texts collapse to their keeper (min doc_id) BEFORE signatures — the
+    * scale-critical defusal of mass-identical boilerplate (those dups are
+    * the exact-dedup operator's output, not near-dup pairs). Pairs are
+    * then reported between surviving representatives only. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
-      shingleSize: Int = 3): DataFrame = {
-    val cand = minhashCandidates(docs, shingleSize)
-    val texts = docs.select(col("doc_id"), col("text"))
+      shingleSize: Int = 3, exactPrepass: Boolean = true,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val base = if (exactPrepass) exactSurvivors(docs) else docs
+    val cand = minhashCandidates(base, shingleSize, bucketCap)
+    val texts = base.select(col("doc_id"), col("text"))
     val jacUdf = udf((t1: String, t2: String) =>
       MinHashKernel.exactJaccard(t1, t2, shingleSize))
     cand
@@ -95,15 +137,6 @@ object Dedup {
     }
     array(bandExprs: _*)
   }
-
-  private val pairsFromIds =
-    udf((ids: Seq[Long]) => {
-      val sorted = ids.sorted
-      for {
-        i <- sorted.indices
-        j <- (i + 1) until sorted.length
-      } yield (sorted(i), sorted(j))
-    })
 
   // ---------------------------------------------------------------
   // SimHash near-dup (hamming ≤ maxDistance)

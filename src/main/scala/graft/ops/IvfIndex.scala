@@ -1,23 +1,38 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) ANN index over an embedding column — the
   * coarse-quantize-then-search scale path (complements the sign-LSH
   * variant in [[Similarity]]):
   *
-  *  1. train: deterministic seeds (lowest vec_ids) → one Lloyd iteration;
-  *     per-cell centroids computed with a custom typed
+  *  1. train: deterministic seeds (lowest vec_ids) → `DefaultIters` Lloyd
+  *     iterations; per-cell centroids computed with a custom typed
   *     [[org.apache.spark.sql.expressions.Aggregator]] (mean of vectors —
-  *     map-side combinable, one shuffle of k small buffers).
+  *     map-side combinable, one shuffle of k small buffers per iteration).
   *  2. assign: narrow pass, nearest-centroid cell id per vector
   *     (centroids broadcast via closure — k×dim floats).
-  *  3. search: candidates share the query's cell (nprobe=1); exact cosine
-  *     inside the cell only.
+  *  3. search: each query probes its `nprobe` nearest cells; exact cosine
+  *     against cell members only.
+  *
+  * Scale parameters (sandbox constants were the round-1 weakness):
+  *  - k defaults to ⌈√n⌉ (capped at `MaxCells` so the collected centroid
+  *    set stays driver-sized) → expected cell ≈ √n, so per-query work is
+  *    O(nprobe·√n) instead of O(n/16).
+  *  - `cellCap` bounds the candidates taken from any one cell (hot-cell
+  *    skew: at 100 TB a popular embedding region would otherwise make one
+  *    cell quadratic). Capped cells keep a deterministic hash-ordered
+  *    sample; `cellDrops` reports what the cap discarded — log it, never
+  *    let silent truncation read as full coverage.
   */
 object IvfIndex {
+
+  val DefaultIters = 2
+  val DefaultNProbe = 2
+  val MaxCells = 65536
+  val DefaultCellCap = 10000
 
   /** Mean-of-vectors buffer (sum + count). */
   final case class VecMeanBuf(sum: Array[Double], n: Long)
@@ -70,30 +85,53 @@ object IvfIndex {
     best
   }
 
-  /** One-pass training: deterministic seeds (k lowest vec_ids) → assign →
-    * per-cell mean via the typed Aggregator → centroids. */
-  def train(corpus: DataFrame, k: Int): Array[Array[Float]] = {
+  /** The `nprobe` nearest cells for a query vector (ascending distance,
+    * deterministic tie-break on cell id). */
+  def nearestCells(centroids: Array[Array[Float]], v: Seq[Float],
+      nprobe: Int): Array[Int] = {
+    val dists = Array.tabulate(centroids.length)(c =>
+      (cosineDist(v, centroids(c)), c))
+    dists.sortBy(identity).take(math.min(nprobe, centroids.length)).map(_._2)
+  }
+
+  /** ⌈√n⌉ cells, driver-capped. */
+  def cellsFor(n: Long): Int =
+    math.min(MaxCells, math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Lloyd training: deterministic seeds (k lowest vec_ids), then `iters`
+    * assign→mean rounds. k ≤ 0 → ⌈√n⌉. Cells that lose all members keep
+    * their previous centroid (stable ids, no collapse). */
+  def train(corpus: DataFrame, k: Int = -1,
+      iters: Int = DefaultIters): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val seeds: Array[Array[Float]] = corpus
-      .orderBy(col("vec_id").asc).limit(k)
+    val kk = if (k > 0) k else cellsFor(corpus.count())
+    var centroids: Array[Array[Float]] = corpus
+      .orderBy(col("vec_id").asc).limit(kk)
       .select(col("embedding")).as[Seq[Float]]
       .collect().map(_.toArray)
-    if (seeds.isEmpty) return Array.empty
-    val dim = seeds(0).length
+    if (centroids.isEmpty) return Array.empty
+    val dim = centroids(0).length
 
-    val assignUdf = udf((v: Seq[Float]) => nearestCell(seeds, v))
-    val meanAgg = new VecMean(dim).toColumn
-
-    corpus
-      .withColumn("cell", assignUdf(col("embedding")))
-      .groupByKey(r => r.getAs[Int]("cell"))(Encoders.scalaInt)
-      .mapValues(r => r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)(
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
-      .agg(meanAgg.name("centroid"))
-      .collect()
-      .sortBy(_._1)
-      .map(_._2.toArray)
+    var it = 0
+    while (it < iters) {
+      val cents = centroids // stable reference for the closure
+      val assignUdf = udf((v: Seq[Float]) => nearestCell(cents, v))
+      val meanAgg = new VecMean(dim).toColumn
+      val means: Map[Int, Array[Float]] = corpus
+        .withColumn("cell", assignUdf(col("embedding")))
+        .groupByKey(r => r.getAs[Int]("cell"))(Encoders.scalaInt)
+        .mapValues(r => r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)(
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+        .agg(meanAgg.name("centroid"))
+        .collect()
+        .map { case (cell, c) => cell -> c.toArray }
+        .toMap
+      centroids = Array.tabulate(centroids.length)(c =>
+        means.getOrElse(c, centroids(c)))
+      it += 1
+    }
+    centroids
   }
 
   /** Cell assignment (narrow). */
@@ -102,17 +140,36 @@ object IvfIndex {
     corpus.withColumn("cell", assignUdf(col("embedding")))
   }
 
-  /** IVF top-k: candidates share the cell; exact cosine inside. */
-  def topK(corpus: DataFrame, centroids: Array[Array[Float]], k: Int): DataFrame = {
+  /** Candidate rows dropped by `cellCap` (hot-cell accounting). */
+  def cellDrops(corpus: DataFrame, centroids: Array[Array[Float]],
+      cellCap: Int): Long =
+    assign(corpus, centroids)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(greatest(col("n") - cellCap, lit(0L))), lit(0L)))
+      .collect()(0).getLong(0)
+
+  /** IVF top-k: each query probes its `nprobe` nearest cells; exact
+    * cosine against (cap-bounded) cell members. */
+  def topK(corpus: DataFrame, centroids: Array[Array[Float]], k: Int,
+      nprobe: Int = DefaultNProbe,
+      cellCap: Int = DefaultCellCap): DataFrame = {
     val assigned = assign(corpus, centroids)
-    val left = assigned.select(col("cell"), col("vec_id").as("query_id"),
-      col("embedding").as("query_emb"))
-    val right = assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("neighbor_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
+    // hot-cell cap: deterministic hash-ordered sample per cell
+    val wCell = Window.partitionBy(col("cell"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val candidates = assigned
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= cellCap)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("neighbor_emb"))
+    val probeUdf = udf((v: Seq[Float]) => nearestCells(centroids, v, nprobe))
+    val queries = corpus
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_emb"),
+        explode(probeUdf(col("embedding"))).as("cell"))
+    val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    left.join(right, Seq("cell"))
+    queries.join(candidates, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Similarity.cosine(col("query_emb"), col("neighbor_emb")))
       .withColumn("rank", row_number().over(w))

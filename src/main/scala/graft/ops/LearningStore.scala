@@ -42,11 +42,14 @@ object LearningStore {
     * of learn_from_result. */
   def fromExtraction(results: DataFrame): DataFrame =
     results.select(
-      monotonically_increasing_id().as("pattern_id"),
+      // content-hash surrogate key: deterministic across partition
+      // layouts (monotonically_increasing_id would reorder retention/
+      // tie-breaks whenever parallelism changes)
+      xxhash64(col("url")).as("pattern_id"),
       col("document_type").as("doc_type"),
       col("quality.quality_score").as("accuracy_score"),
       col("type_confidence"),
       lit(graft.model.Model.ExtractorVersion).as("version"))
-      // ingestion-order surrogate (no wall-clock in the kernel)
+      // ingestion-sequence surrogate (no wall-clock in the kernel)
       .withColumn("created_at", col("pattern_id"))
 }

@@ -9,19 +9,31 @@ import org.apache.spark.sql.functions._
   *  - `bruteCosineTopK` — exact baseline: broadcast the (small) query set,
   *    one narrow pass over the corpus, per-query top-k via window. Dot
   *    products stay in codegen (`zip_with` + `aggregate` built-ins, no UDF).
+  *  - `exactCosineNearDups` — exact all-pairs twin (oracle/recall baseline;
+  *    O(n²) by construction — run on samples, never the full corpus).
   *  - `lshCosineTopK` — scale path: random-hyperplane (sign) LSH buckets;
   *    exact cosine only within a bucket. Hyperplanes are seeded Rademacher
   *    vectors (deterministic), so bucketing is reproducible cluster-wide.
+  *
+  * Scale note: the number of sign bits is derived from the corpus size
+  * (`signBitsFor`) so expected bucket size stays ~`TargetBucketSize`
+  * regardless of n — within-bucket work is O(n·bucket) ≈ linear, not
+  * O(n²/2^bits) with a fixed small bit count.
   */
 object Similarity {
 
-  /** cosine(a, b) as a codegen'd Column (no UDF). */
+  /** cosine(a, b) as a codegen'd Column (no UDF). Arrays are cast to
+    * double FIRST so products accumulate in double precision — this is
+    * what makes the result bit-identical to an independent left-to-right
+    * double fold (the DuckDB oracle). */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x),
+    val na = sqrt(aggregate(transform(ad, x => x * x),
       lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x),
+    val nb = sqrt(aggregate(transform(bd, x => x * x),
       lit(0.0), (acc, v) => acc + v))
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
@@ -44,21 +56,48 @@ object Similarity {
         col("cos"), col("rank"))
   }
 
-  /** Deterministic random-hyperplane sign signature (8 bits — tuned so
-    * sandbox-scale buckets stay populated; raise for larger corpora). */
-  val SignBits = 8
+  /** Exact all-pairs cosine near-duplicates (a < b, cos ≥ threshold).
+    * The exact twin of [[cosineNearDups]]: quadratic — the oracle/recall
+    * baseline at sample scale, NOT the 100 TB path. One side broadcast,
+    * so no shuffle: each task streams its corpus slice against the
+    * broadcast copy. */
+  def exactCosineNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+    val left = corpus.select(col("vec_id").as("a"),
+      col("embedding").as("emb_a"))
+    val right = corpus.select(col("vec_id").as("b"),
+      col("embedding").as("emb_b"))
+    left.join(broadcast(right), col("a") < col("b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), col("cos"))
+  }
 
-  private val lshUdf = udf((emb: Seq[Float]) => SimilarityKernel.signBucket(emb))
+  /** Default expected within-bucket population the bit count aims for. */
+  val TargetBucketSize = 64
 
-  /** Bucket each vector by its sign signature (narrow). */
-  def lshBuckets(corpus: DataFrame): DataFrame =
+  /** Sign bits as a function of corpus size: ceil(log2(n / target)),
+    * floored at 8 (sandbox default) and capped at 24 (16M buckets —
+    * beyond that, bucket-key cardinality stops paying for itself and
+    * multi-probe/banding is the right tool). n = 10^12 → 24 bits. */
+  def signBitsFor(n: Long, target: Int = TargetBucketSize): Int = {
+    val buckets = math.max(1L, n / math.max(1, target))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil log2
+    math.min(24, math.max(8, bits))
+  }
+
+  /** Bucket each vector by its sign signature (narrow).
+    * `signBits <= 0` → derive from a corpus count. */
+  def lshBuckets(corpus: DataFrame, signBits: Int = -1): DataFrame = {
+    val bits = if (signBits > 0) signBits else signBitsFor(corpus.count())
+    val lshUdf = udf((emb: Seq[Float]) => SimilarityKernel.signBucket(emb, bits))
     corpus.withColumn("bucket", lshUdf(col("embedding")))
+  }
 
   /** ANN top-k: candidates share the LSH bucket; exact cosine inside.
     * Recall < 1 by construction (scale path; the baseline above is the
-    * correctness reference). */
-  def lshCosineTopK(corpus: DataFrame, k: Int): DataFrame = {
-    val b = lshBuckets(corpus)
+    * correctness reference — OpsSpec asserts recall against it). */
+  def lshCosineTopK(corpus: DataFrame, k: Int, signBits: Int = -1): DataFrame = {
+    val b = lshBuckets(corpus, signBits)
     val left = b.select(col("bucket"), col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
     val right = b.select(col("bucket"), col("vec_id").as("neighbor_id"),
@@ -75,9 +114,11 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup by similarity ≥ t):
-    * LSH-bucketed so only same-bucket pairs are compared. */
-  def cosineNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
-    val b = lshBuckets(corpus)
+    * LSH-bucketed so only same-bucket pairs are compared. Bits scale
+    * with corpus size (see `signBitsFor`). */
+  def cosineNearDups(corpus: DataFrame, threshold: Double,
+      signBits: Int = -1): DataFrame = {
+    val b = lshBuckets(corpus, signBits)
     val left = b.select(col("bucket"), col("vec_id").as("a"),
       col("embedding").as("emb_a"))
     val right = b.select(col("bucket"), col("vec_id").as("b"),
@@ -93,11 +134,11 @@ object Similarity {
 object SimilarityKernel {
   /** Sign-LSH bucket: bit j = sign(dot(v, h_j)), h_j a seeded Rademacher
     * (±1) hyperplane — h_j[d] from a mixed hash of (j, d). */
-  def signBucket(emb: Seq[Float]): Int = {
+  def signBucket(emb: Seq[Float], bits: Int): Int = {
     if (emb == null || emb.isEmpty) return 0
     var bucket = 0
     var j = 0
-    while (j < Similarity.SignBits) {
+    while (j < bits) {
       var dot = 0.0
       var d = 0
       while (d < emb.length) {

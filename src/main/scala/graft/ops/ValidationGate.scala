@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Batch data-quality gate (SURVEY §2.5 O12 — the analog of the
   * reference's Great Expectations checks,
@@ -60,4 +61,71 @@ object ValidationGate {
         count(lit(1)).as("docs"),
         avg(col("quality.quality_score")).as("mean_quality"),
         avg(col("confidence")).as("mean_confidence"))
+
+  /** Relational validation profile per `typeCol` (the SQL-oracle-able
+    * face of the gate): counts, empty/short text counts, exact-integer
+    * char totals, and a per-group `passed` verdict (no empties). Means
+    * are sum/count over exact integers — deterministic across partition
+    * orders, unlike float `avg`. */
+  def profile(batch: DataFrame, typeCol: String, textCol: String,
+      shortLen: Int = 50): DataFrame =
+    batch.groupBy(col(typeCol).as("gtype"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(length(col(textCol)) === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(when(length(col(textCol)) < shortLen, 1L).otherwise(0L))
+          .as("n_short"),
+        sum(length(col(textCol)).cast("long")).as("sum_chars"))
+      .withColumn("mean_chars_e2",
+        round(col("sum_chars") * lit(100.0) / greatest(col("docs"), lit(1L)))
+          .cast("long"))
+      .withColumn("passed", col("n_empty") === 0L)
+
+  /** Generic batch-shape summary: per-`typeCol` count + exact-integer
+    * mean of `metricCol` (sum/count, NOT float `avg`, so the value is
+    * independent of partition summation order — deterministic across
+    * parallelism levels and reproducible by any SQL engine). */
+  def shape(batch: DataFrame, typeCol: String, metricCol: String): DataFrame =
+    batch.groupBy(col(typeCol).as("gtype"))
+      .agg(count(lit(1)).as("n"), sum(col(metricCol)).as("metric_sum"))
+
+  /** Drift comparison between a current and a baseline batch (the
+    * verdict half of the reference's drift check,
+    * /root/reference/ocr_service/utils/drift_detection.py:45-80 — there
+    * delegated to Evidently's distribution tests; here an explicit
+    * per-type share + mean-metric delta with a share threshold):
+    * one row per type with count shares (ppm), mean-metric deltas
+    * (×100), and a `drifted` verdict when the share moved more than
+    * `shareThresholdPpm`. Types absent from one batch get share 0 there.
+    * Two map-combined aggregations + a broadcast-sized outer join. */
+  def drift(current: DataFrame, baseline: DataFrame, typeCol: String,
+      metricCol: String, shareThresholdPpm: Long = 50000L): DataFrame = {
+    val cur = shape(current, typeCol, metricCol)
+      .select(col("gtype"), col("n").as("n_cur"),
+        col("metric_sum").as("sum_cur"))
+    val base = shape(baseline, typeCol, metricCol)
+      .select(col("gtype"), col("n").as("n_base"),
+        col("metric_sum").as("sum_base"))
+    val joined = cur.join(base, Seq("gtype"), "full_outer")
+      .na.fill(0L, Seq("n_cur", "n_base", "sum_cur", "sum_base"))
+    val totCur = sum(col("n_cur")).over(Window.partitionBy())
+    val totBase = sum(col("n_base")).over(Window.partitionBy())
+    val shareCur = round(col("n_cur") * lit(1000000.0) /
+      greatest(totCur, lit(1L))).cast("long")
+    val shareBase = round(col("n_base") * lit(1000000.0) /
+      greatest(totBase, lit(1L))).cast("long")
+    val meanCur = col("sum_cur").cast("double") / greatest(col("n_cur"), lit(1L))
+    val meanBase = col("sum_base").cast("double") / greatest(col("n_base"), lit(1L))
+    joined
+      .withColumn("share_cur_ppm", shareCur)
+      .withColumn("share_base_ppm", shareBase)
+      .withColumn("share_delta_ppm", shareCur - shareBase)
+      .withColumn("mean_delta_e2",
+        round((meanCur - meanBase) * 100).cast("long"))
+      .withColumn("drifted",
+        abs(col("share_delta_ppm")) > shareThresholdPpm)
+      .select(col("gtype"), col("n_cur"), col("n_base"),
+        col("share_cur_ppm"), col("share_base_ppm"),
+        col("share_delta_ppm"), col("mean_delta_e2"), col("drifted"))
+  }
 }

@@ -53,6 +53,17 @@ object ExtractPipeline {
       .mapPartitions(_.map(Extractor.extract))
   }
 
+  /** Storage-agnostic lineage existence check: resolves through the
+    * Hadoop FileSystem for the path's scheme, so resume works on
+    * HDFS/S3A/ABFS/file:// alike (a bare `java.io.File` check is always
+    * false off the local disk → every rerun would silently reprocess
+    * everything — correct but not resume). */
+  def lineageExists(spark: SparkSession, lineageDir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(lineageDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path)
+  }
+
   final case class RunSummary(
       runId: String,
       bucketsTotal: Int,
@@ -84,7 +95,7 @@ object ExtractPipeline {
     import spark.implicits._
 
     val committed: Set[Int] =
-      if (new java.io.File(lineageDir).exists()) {
+      if (lineageExists(spark, lineageDir)) {
         spark.read.parquet(lineageDir)
           .filter($"run_id" === runId)
           .select($"partition_id")

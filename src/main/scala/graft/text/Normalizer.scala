@@ -117,6 +117,18 @@ object Normalizer {
         "(?i)(?:loan\\s*amount|amount\\s*requested)" +
           "[:\\s-]*([\\$A-Z]{0,3}\\s?\\d+[\\d,\\.]{0,20})"))
 
+  final case class NormalizeCounts(
+      n_sections: Int, n_txn_lines: Int, n_receipt_items: Int)
+
+  /** All three T16-T18 counts in ONE text pass surface (single UDF at
+    * the call site — three separate UDFs over the same column would
+    * deserialize the text three times per row). */
+  def counts(text: String): NormalizeCounts =
+    NormalizeCounts(
+      splitSections(text).size,
+      transactionLines(text).size,
+      receiptItems(text).size)
+
   /** Receipt items: amount present & ≥2 tokens, capped at 25.
     * open_source_ocr_stack.py:327-333 */
   def receiptItems(text: String): List[String] = {

@@ -40,9 +40,28 @@ class OpsSpec extends AnyFunSuite {
       4L -> base) // exact dup too
     val pairs = Dedup.minhashNearDups(d, threshold = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L)))
-    assert(pairs.contains((1L, 4L))) // exact dup always found
+    assert(pairs.contains((1L, 2L)))
+    // byte-identical dup is collapsed by the exact pre-pass, NOT reported
+    assert(!pairs.contains((1L, 4L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // with the pre-pass disabled the exact dup IS a near-dup pair
+    val raw = Dedup.minhashNearDups(d, threshold = 0.5, exactPrepass = false)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(raw.contains((1L, 4L)))
+  }
+
+  test("minhash bucket cap bounds the hot-bucket pair explosion") {
+    // 2,000 byte-identical docs: without the exact pre-pass and with a
+    // tiny cap, candidate pairs stay ≤ cap²/2 per band instead of m²/2
+    val hot = (0L until 2000L).map(i => (i, "mass produced boilerplate " +
+      "footer text repeated on every crawled page of the giant site"))
+    val d = hot.toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(d, bucketCap = 10)
+    assert(capped.count() == 45L) // C(10,2): same 10 survivors per band
+    val drops = Dedup.minhashBucketDrops(d, bucketCap = 10)
+    assert(drops == 16L * 1990L, s"drops $drops")
+    // end-to-end: exact pre-pass collapses the flood entirely
+    assert(Dedup.minhashNearDups(d, threshold = 0.5).count() == 0L)
   }
 
   test("minhash estimated vs exact jaccard sane") {
