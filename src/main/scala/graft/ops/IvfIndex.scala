@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   val DefaultIters = 2
-  val DefaultNProbe = 2
+  val DefaultNProbe = 4
   val MaxCells = 65536
   val DefaultCellCap = 10000
 

@@ -85,19 +85,37 @@ object Similarity {
     math.min(24, math.max(8, bits))
   }
 
-  /** Bucket each vector by its sign signature (narrow).
-    * `signBits <= 0` → derive from a corpus count. */
+  /** Tables in the multi-table (banded) LSH index. Recall of a pair with
+    * per-bit agreement probability p is 1 − (1 − p^bits)^tables — one
+    * table alone misses most true neighbors (a single flipped bit evicts
+    * the pair), which is why round-1's single-signature variant was weak. */
+  val DefaultTables = 12
+
+  /** Explode each vector into one row per table with that table's sign
+    * signature as the bucket key (table id packed into the high bits).
+    * Narrow ×tables fan-out; `signBits <= 0` → derive from corpus count. */
+  def lshTables(corpus: DataFrame, signBits: Int = -1,
+      tables: Int = DefaultTables): DataFrame = {
+    val bits = if (signBits > 0) signBits else signBitsFor(corpus.count())
+    val lshUdf = udf((emb: Seq[Float]) =>
+      SimilarityKernel.signBuckets(emb, bits, tables))
+    corpus.withColumn("bucket", explode(lshUdf(col("embedding"))))
+  }
+
+  /** Single-table bucketing (kept for bucket-statistics callers). */
   def lshBuckets(corpus: DataFrame, signBits: Int = -1): DataFrame = {
     val bits = if (signBits > 0) signBits else signBitsFor(corpus.count())
-    val lshUdf = udf((emb: Seq[Float]) => SimilarityKernel.signBucket(emb, bits))
+    val lshUdf = udf((emb: Seq[Float]) =>
+      SimilarityKernel.signBuckets(emb, bits, 1)(0).toInt)
     corpus.withColumn("bucket", lshUdf(col("embedding")))
   }
 
-  /** ANN top-k: candidates share the LSH bucket; exact cosine inside.
-    * Recall < 1 by construction (scale path; the baseline above is the
-    * correctness reference — OpsSpec asserts recall against it). */
-  def lshCosineTopK(corpus: DataFrame, k: Int, signBits: Int = -1): DataFrame = {
-    val b = lshBuckets(corpus, signBits)
+  /** ANN top-k: candidates share ANY table's bucket; exact cosine inside.
+    * Recall < 1 by construction (scale path; the brute baseline is the
+    * correctness reference — OpsSpec asserts recall ≥ 0.9 against it). */
+  def lshCosineTopK(corpus: DataFrame, k: Int, signBits: Int = -1,
+      tables: Int = DefaultTables): DataFrame = {
+    val b = lshTables(corpus, signBits, tables)
     val left = b.select(col("bucket"), col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
     val right = b.select(col("bucket"), col("vec_id").as("neighbor_id"),
@@ -107,6 +125,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     left.join(right, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id") // pair found in ≤T tables
       .withColumn("cos", cosine(col("query_emb"), col("neighbor_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -114,17 +133,18 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup by similarity ≥ t):
-    * LSH-bucketed so only same-bucket pairs are compared. Bits scale
+    * multi-table LSH candidates, exact cosine verification. Bits scale
     * with corpus size (see `signBitsFor`). */
   def cosineNearDups(corpus: DataFrame, threshold: Double,
-      signBits: Int = -1): DataFrame = {
-    val b = lshBuckets(corpus, signBits)
+      signBits: Int = -1, tables: Int = DefaultTables): DataFrame = {
+    val b = lshTables(corpus, signBits, tables)
     val left = b.select(col("bucket"), col("vec_id").as("a"),
       col("embedding").as("emb_a"))
     val right = b.select(col("bucket"), col("vec_id").as("b"),
       col("embedding").as("emb_b"))
     left.join(right, Seq("bucket"))
       .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b")
       .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
@@ -132,25 +152,37 @@ object Similarity {
 }
 
 object SimilarityKernel {
-  /** Sign-LSH bucket: bit j = sign(dot(v, h_j)), h_j a seeded Rademacher
-    * (±1) hyperplane — h_j[d] from a mixed hash of (j, d). */
-  def signBucket(emb: Seq[Float], bits: Int): Int = {
-    if (emb == null || emb.isEmpty) return 0
-    var bucket = 0
-    var j = 0
-    while (j < bits) {
-      var dot = 0.0
-      var d = 0
-      while (d < emb.length) {
-        var h = (j * 0x9e3779b9L + d * 0x85ebca6bL + 0xc2b2ae35L)
-        h ^= h >>> 16; h *= 0x45d9f3bL; h ^= h >>> 16
-        val sign = if ((h & 1L) == 0L) 1.0 else -1.0
-        dot += sign * emb(d)
-        d += 1
-      }
-      if (dot >= 0) bucket |= (1 << j)
-      j += 1
+  /** Sign-LSH signatures, one per table: bit j of table t =
+    * sign(dot(v, h_{t,j})), h a seeded Rademacher (±1) hyperplane —
+    * h[d] from a mixed hash of (t, j, d). The table id is packed into
+    * the high bits so signatures from different tables never collide. */
+  def signBuckets(emb: Seq[Float], bits: Int, tables: Int): Array[Long] = {
+    val out = new Array[Long](tables)
+    if (emb == null || emb.isEmpty) {
+      var t = 0
+      while (t < tables) { out(t) = t.toLong << 32; t += 1 }
+      return out
     }
-    bucket
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < emb.length) {
+          var h = ((t * 131 + j) * 0x9e3779b9L + d * 0x85ebca6bL + 0xc2b2ae35L)
+          h ^= h >>> 16; h *= 0x45d9f3bL; h ^= h >>> 16
+          val sign = if ((h & 1L) == 0L) 1.0 else -1.0
+          dot += sign * emb(d)
+          d += 1
+        }
+        if (dot >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = (t.toLong << 32) | bucket
+      t += 1
+    }
+    out
   }
 }

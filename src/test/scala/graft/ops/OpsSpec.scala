@@ -212,6 +212,172 @@ class OpsSpec extends AnyFunSuite {
     assert(minCos > 0.8, s"minCos $minCos")
   }
 
+  // --- recall harness: approximate ANN vs the exact brute baseline ----
+
+  /** Clustered synthetic embeddings (seeded, cluster structure like the
+    * driver's embeddings table). */
+  private def clusteredEmb(n: Int, dim: Int, clusters: Int, seed: Int) = {
+    val r = new java.util.Random(seed)
+    (0L until n.toLong).map { i =>
+      val cluster = (i % clusters).toInt
+      val v = Array.tabulate(dim)(d =>
+        (if (d % clusters == cluster) 1.0 else 0.0) + r.nextGaussian() * 0.15)
+      (i, v.map(_.toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** Mean top-k recall of `approx` against the exact brute answer. */
+  private def recallVsBrute(emb: org.apache.spark.sql.DataFrame,
+      approx: org.apache.spark.sql.DataFrame, k: Int): Double = {
+    val brute = Similarity.bruteCosineTopK(emb, emb, k)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val got = approx.select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val per = brute.map { case (q, exact) =>
+      got.getOrElse(q, Set.empty).intersect(exact).size.toDouble / exact.size
+    }
+    per.sum / per.size
+  }
+
+  test("ivf recall >= 0.9 vs brute at two corpus sizes") {
+    for (n <- Seq(200, 800)) {
+      val emb = clusteredEmb(n, 32, 8, seed = 7 + n)
+      val centroids = IvfIndex.train(emb) // k = ceil(sqrt(n)), 2 iters
+      val approx = IvfIndex.topK(emb, centroids, k = 5)
+      val r = recallVsBrute(emb, approx, k = 5)
+      assert(r >= 0.9, s"ivf recall $r at n=$n")
+    }
+  }
+
+  test("lsh recall >= 0.9 vs brute on clustered vectors") {
+    val emb = clusteredEmb(400, 32, 8, seed = 3)
+    val approx = Similarity.lshCosineTopK(emb, k = 5)
+    val r = recallVsBrute(emb, approx, k = 5)
+    assert(r >= 0.9, s"lsh recall $r")
+  }
+
+  test("sign bits scale with corpus size") {
+    assert(Similarity.signBitsFor(500) == 8)
+    assert(Similarity.signBitsFor(1000000) > 8)
+    assert(Similarity.signBitsFor(1000000000000L) == 24)
+    // expected bucket population stays bounded near the target
+    val n = 100000000L
+    val bits = Similarity.signBitsFor(n)
+    assert(n / (1L << bits) <= Similarity.TargetBucketSize)
+  }
+
+  test("cosine near-dup recall: lsh-bucketed vs exact all-pairs") {
+    val emb = clusteredEmb(300, 32, 6, seed = 19)
+    val exact = Similarity.exactCosineNearDups(emb, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.cosineNearDups(emb, 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(approx.subsetOf(exact)) // bucketing only prunes, never invents
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.5, s"near-dup recall $recall") // 8-bit sign LSH floor
+  }
+
+  test("minhash pair recall vs exact shingle jaccard") {
+    // 20 docs from one base (all pairwise trigram-jaccard 0.9: only the
+    // final token differs) + 10 unrelated docs
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val rows = (0L until 20L).map(i => (i, base + s" tail$i")) ++
+      (100L until 110L).map(i =>
+        (i, s"totally different doc number $i with its own words " +
+          s"nothing shared here ${i * 31} ${i * 17} ${i * 13}"))
+    val d = rows.toDF("doc_id", "text")
+    // ground truth from the exact kernel itself (threshold 0.8)
+    val exactPairs = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      if MinHashKernel.exactJaccard(a._2, b._2, 3) >= 0.8
+    } yield (a._1, b._1)).toSet
+    assert(exactPairs.size == 190) // C(20,2), near-dup family only
+    val found = Dedup.minhashNearDups(d, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val recall = found.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"minhash recall $recall")
+    assert(found.forall(exactPairs.contains)) // exact-verified: no false pairs
+  }
+
+  test("active learning: per-cluster uncertainty sampling (reference semantics)") {
+    // 3 well-separated clusters x 20 points; uncertainty rises with id
+    val r = new java.util.Random(23)
+    val pool = (0L until 60L).map { i =>
+      val cluster = (i % 3).toInt
+      val v = Array.tabulate(12)(d =>
+        (if (d % 3 == cluster) 1.0 else 0.0) + r.nextGaussian() * 0.02)
+      (i, v.map(_.toFloat).toSeq, i.toDouble / 60.0)
+    }.toDF("doc_id", "embedding", "uncertainty")
+    // n_samples=9, k=3 -> max(1, 9/3)=3 per cluster (active_learning.py:67)
+    val sel = ActiveLearning.sampleByEmbedding(pool, "doc_id", "embedding",
+      "uncertainty", nSamples = 9, nClusters = 3)
+    val rows = sel.select($"cluster", $"doc_id").as[(Int, Long)].collect()
+    assert(rows.length == 9)
+    val byCluster = rows.groupBy(_._1)
+    assert(byCluster.size == 3 && byCluster.values.forall(_.length == 3))
+    // each cluster contributed its 3 HIGHEST-uncertainty members (ids
+    // 51..59 are the most uncertain of each residue class)
+    assert(rows.map(_._2).toSet == (51L until 60L).toSet, rows.mkString(","))
+  }
+
+  test("active learning: quantile variant is deterministic") {
+    val pool = (0L until 40L).map(i => (i, i % 7, (i * 13 % 40) / 40.0))
+      .toDF("doc_id", "feat", "uncertainty")
+    val a = ActiveLearning.sampleByQuantile(pool, "doc_id", "feat",
+      "uncertainty", nClusters = 4, perCluster = 2)
+      .select($"cluster", $"doc_id").as[(Int, Long)].collect().sorted
+    val b = ActiveLearning.sampleByQuantile(pool.repartition(16), "doc_id",
+      "feat", "uncertainty", nClusters = 4, perCluster = 2)
+      .select($"cluster", $"doc_id").as[(Int, Long)].collect().sorted
+    assert(a.length == 8 && a.sameElements(b))
+  }
+
+  test("drift verdict fires on a shifted type distribution") {
+    val base = ((1 to 80).map(i => (s"d$i", "invoice", 100L)) ++
+      (1 to 20).map(i => (s"e$i", "receipt", 200L)))
+      .toDF("id", "doc_type", "n_chars")
+    val cur = ((1 to 50).map(i => (s"f$i", "invoice", 100L)) ++
+      (1 to 50).map(i => (s"g$i", "receipt", 210L)))
+      .toDF("id", "doc_type", "n_chars")
+    val out = ValidationGate.drift(cur, base, "doc_type", "n_chars")
+      .orderBy($"gtype").collect()
+    assert(out.length == 2)
+    val inv = out(0)
+    assert(inv.getAs[String]("gtype") == "invoice")
+    assert(inv.getAs[Long]("share_delta_ppm") == -300000L)
+    assert(inv.getAs[Boolean]("drifted"))
+    val rec = out(1)
+    assert(rec.getAs[Long]("mean_delta_e2") == 1000L) // 210 - 200 chars
+    // identical batches -> no drift
+    val same = ValidationGate.drift(base, base, "doc_type", "n_chars")
+    assert(same.filter($"drifted").count() == 0)
+  }
+
+  test("learning store surrogate keys stable across partition layouts") {
+    val results = graft.pipeline.ExtractPipeline.extract(
+      graft.pipeline.ExtractPipeline.pages(spark, 120, 2), 2).toDF()
+    def best(parts: Int) = LearningStore.bestPatterns(
+      LearningStore.fromExtraction(results.repartition(parts)))
+      .select($"doc_type", $"accuracy_score", $"pattern_id")
+      .as[(String, Double, Long)].collect().sortBy(_._1)
+    assert(best(2).sameElements(best(16)))
+  }
+
+  test("lineage existence check resolves file:// URIs via Hadoop FS") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lin")
+    assert(graft.pipeline.ExtractPipeline.lineageExists(
+      spark, "file://" + dir.toString))
+    assert(!graft.pipeline.ExtractPipeline.lineageExists(
+      spark, "file://" + dir.toString + "/nope"))
+    assert(!graft.pipeline.ExtractPipeline.lineageExists(
+      spark, dir.toString + "/nope"))
+  }
+
   test("charset sniffing decodes latin-1 pages") {
     val html = "<html><head><meta charset=\"iso-8859-1\"></head>" +
       "<body><p>caf\u00e9</p></body></html>"
