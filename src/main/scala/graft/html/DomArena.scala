@@ -35,6 +35,14 @@ object DomArena {
     private var textIdxA = new Array[Int](cap)
     private val textsB = scala.collection.mutable.ArrayBuffer.empty[String]
 
+    /** Reuse across documents (per-thread scratch): keeps the grown
+      * capacity, drops the contents. `result()` copies exact-size arrays,
+      * so escaped arenas never alias builder state. */
+    def reset(): Unit = {
+      n = 0
+      textsB.clear()
+    }
+
     private def grow(): Unit = {
       cap *= 2
       tagA = java.util.Arrays.copyOf(tagA, cap)

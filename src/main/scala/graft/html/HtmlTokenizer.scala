@@ -17,12 +17,29 @@ object HtmlTokenizer {
     * 1-char tags stays under this). */
   val MaxNodes: Int = 1 << 21
 
+  /** Per-thread reusable scratch. A Spark task processes thousands of
+    * documents on one thread; fresh builder arrays + StringBuilders per
+    * document made the kernel allocation-bound at high core counts (GC
+    * contention was the round-1 scaling-efficiency gap). Escaped values
+    * (`DomArena`, result strings) are always exact-size copies. */
+  private final class Scratch {
+    val builder = new DomArena.Builder(4096)
+    var stackNodes = new Array[Int](64)
+    var stackTags = new Array[Int](64)
+    val textBuf = new java.lang.StringBuilder(256)
+    val decodeBuf = new java.lang.StringBuilder(8192)
+  }
+  private val tlScratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
   /** UTF-8 decode dropping invalid sequences — the byte-level analog of
     * Python's `bytes.decode('utf-8', errors='ignore')` used throughout the
     * reference (e.g. ocr_engine.py:309). Skips a UTF-8 BOM. */
   def decodeUtf8Ignore(bytes: Array[Byte]): String = {
     if (bytes == null || bytes.isEmpty) return ""
-    val sb = new java.lang.StringBuilder(bytes.length)
+    val sb = tlScratch.get().decodeBuf
+    sb.setLength(0)
+    sb.ensureCapacity(bytes.length)
     var i = 0
     if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xef &&
         (bytes(1) & 0xff) == 0xbb && (bytes(2) & 0xff) == 0xbf) i = 3
@@ -160,16 +177,21 @@ object HtmlTokenizer {
   def parse(bytes: Array[Byte]): DomArena = parseString(decodeBytes(bytes))
 
   def parseString(doc: String): DomArena = {
-    val b = new DomArena.Builder(math.max(64, doc.length / 32))
+    val scratch = tlScratch.get()
+    val b = scratch.builder
+    b.reset()
     val root = b.addElement(HtmlTags.id("html"), DomArena.NoNode)
-    // open-element stack: node indices + tag ids (parallel, primitive)
-    var stackNodes = new Array[Int](64)
-    var stackTags = new Array[Int](64)
+    // open-element stack: node indices + tag ids (parallel, primitive,
+    // thread-local — grown arrays persist across documents)
+    var stackNodes = scratch.stackNodes
+    var stackTags = scratch.stackTags
     var sp = 0
     def push(node: Int, tagId: Int): Unit = {
       if (sp == stackNodes.length) {
         stackNodes = java.util.Arrays.copyOf(stackNodes, sp * 2)
         stackTags = java.util.Arrays.copyOf(stackTags, sp * 2)
+        scratch.stackNodes = stackNodes
+        scratch.stackTags = stackTags
       }
       stackNodes(sp) = node; stackTags(sp) = tagId; sp += 1
     }
@@ -178,7 +200,7 @@ object HtmlTokenizer {
     val n = doc.length
     var i = 0
     var textStart = 0
-    val textBuf = new java.lang.StringBuilder(256)
+    val textBuf = scratch.textBuf
 
     def flushText(endExclusive: Int): Unit = {
       if (endExclusive > textStart) {

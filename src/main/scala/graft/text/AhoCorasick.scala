@@ -8,12 +8,20 @@ package graft.text
   * less memory traffic per document. This is the main lever for
   * per-core throughput at 100 TB.
   *
+  * Compiled to a dense DFA: failure links are resolved at build time
+  * into a full goto table over a compact alphabet (chars appearing in
+  * any pattern; everything else is one "miss" class that resets to the
+  * root), so the scan is exactly one array load per input char — no
+  * hashing, no boxing, no failure chase at match time.
+  *
   * Built once (static), immutable, thread-safe after construction.
   */
 final class AhoCorasick private (
     patterns: Array[String],
-    next: Array[java.util.HashMap[Character, Integer]],
-    fail: Array[Int],
+    alphaOf: Array[Int],      // char (≤ maxChar) → alphabet class, 0 = miss
+    maxChar: Int,
+    alphaSize: Int,
+    dfa: Array[Int],          // state * alphaSize + class → next state
     out: Array[Array[Int]]) {
 
   val size: Int = patterns.length
@@ -26,14 +34,9 @@ final class AhoCorasick private (
     var i = 0
     val n = text.length
     while (i < n) {
-      val c = java.lang.Character.valueOf(text.charAt(i))
-      var s = state
-      var nx = next(s).get(c)
-      while (nx == null && s != 0) {
-        s = fail(s)
-        nx = next(s).get(c)
-      }
-      state = if (nx == null) 0 else nx.intValue()
+      val c = text.charAt(i)
+      val cls = if (c > maxChar) 0 else alphaOf(c)
+      state = dfa(state * alphaSize + cls)
       val hits = out(state)
       var k = 0
       while (k < hits.length) { found(hits(k)) = true; k += 1 }
@@ -53,54 +56,71 @@ object AhoCorasick {
   /** Build from patterns (exact substring semantics, case-sensitive —
     * lowercase both needles and haystack for case-insensitive use). */
   def build(patterns: IndexedSeq[String]): AhoCorasick = {
+    // compact alphabet over chars used by any pattern (class 0 = miss)
+    val chars = patterns.flatten.distinct.sorted
+    val maxChar = if (chars.isEmpty) 0 else chars.max.toInt
+    val alphaOf = new Array[Int](maxChar + 1)
+    chars.zipWithIndex.foreach { case (c, i) => alphaOf(c) = i + 1 }
+    val alphaSize = chars.length + 1
+
     val maxNodes = patterns.map(_.length).sum + 1
-    val next = Array.fill(maxNodes)(new java.util.HashMap[Character, Integer]())
+    val trie = Array.fill(maxNodes * alphaSize)(-1)
     val outB = Array.fill(maxNodes)(List.empty[Int])
     var nodeCount = 1
 
-    // trie
     var p = 0
     while (p < patterns.length) {
       val pat = patterns(p)
       var state = 0
       var i = 0
       while (i < pat.length) {
-        val c = java.lang.Character.valueOf(pat.charAt(i))
-        val nx = next(state).get(c)
-        if (nx == null) {
-          next(state).put(c, nodeCount)
+        val cls = alphaOf(pat.charAt(i))
+        val nx = trie(state * alphaSize + cls)
+        if (nx < 0) {
+          trie(state * alphaSize + cls) = nodeCount
           state = nodeCount
           nodeCount += 1
-        } else state = nx.intValue()
+        } else state = nx
         i += 1
       }
       outB(state) = p :: outB(state)
       p += 1
     }
 
-    // failure links (BFS)
+    // BFS: resolve failure links into a full DFA
     val fail = new Array[Int](nodeCount)
+    val dfa = new Array[Int](nodeCount * alphaSize)
     val queue = new java.util.ArrayDeque[Integer]()
-    next(0).forEach((_, s) => { fail(s) = 0; queue.add(s) })
+    var cls = 0
+    while (cls < alphaSize) {
+      val t = trie(cls) // root transitions
+      if (t >= 0) { fail(t) = 0; dfa(cls) = t; queue.add(t) }
+      else dfa(cls) = 0
+      cls += 1
+    }
     while (!queue.isEmpty) {
       val s = queue.poll().intValue()
-      next(s).forEach { (c, t) =>
-        queue.add(t)
-        var f = fail(s)
-        var nx = next(f).get(c)
-        while (nx == null && f != 0) {
-          f = fail(f)
-          nx = next(f).get(c)
+      var c = 0
+      while (c < alphaSize) {
+        val t = trie(s * alphaSize + c)
+        if (t >= 0) {
+          queue.add(t)
+          fail(t) = dfa(fail(s) * alphaSize + c)
+          outB(t) = outB(t) ++ outB(fail(t))
+          dfa(s * alphaSize + c) = t
+        } else {
+          dfa(s * alphaSize + c) = dfa(fail(s) * alphaSize + c)
         }
-        fail(t) = if (nx == null || nx.intValue() == t) 0 else nx.intValue()
-        outB(t) = outB(t) ++ outB(fail(t))
+        c += 1
       }
     }
 
     new AhoCorasick(
       patterns.toArray,
-      next.take(nodeCount),
-      fail,
+      alphaOf,
+      maxChar,
+      alphaSize,
+      dfa.take(nodeCount * alphaSize),
       outB.take(nodeCount).map(_.toArray))
   }
 }

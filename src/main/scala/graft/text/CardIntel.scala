@@ -71,6 +71,9 @@ object CardIntel {
     * first-seen order. document_intelligence.py:307-321 */
   def extractCardCandidates(text: String): List[String] = {
     if (text == null) return Nil
+    // necessary condition: the pattern consumes ≥11 `\d` chars — skip
+    // the regex scan entirely on digit-poor text (identical results)
+    if (digitCount(text) < 11) return Nil
     val m = cardPattern.matcher(text)
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     while (m.find()) {

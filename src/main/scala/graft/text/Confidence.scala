@@ -12,8 +12,32 @@ object Confidence {
     "date", "fecha", "total", "invoice", "factura", "name", "nombre", "id",
     "dni", "tax", "iva")
 
-  // \b[a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]{2,}\b — confidence.py:45
-  private val wordPattern = uPattern("\\b[a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]{2,}\\b")
+  // \b[a-zA-ZáéíóúüñÁÉÍÓÚÜÑ]{2,}\b — confidence.py:45. Counted by a
+  // hand-rolled scan: a match is exactly a maximal \w-run that lies
+  // entirely in the class with length ≥ 2 (\b only exists at run edges;
+  // a non-class \w char anywhere in the run kills every candidate).
+  // Equivalence fuzz-checked against the regex in RegexParitySpec.
+  @inline private def inWordClass(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      "áéíóúüñÁÉÍÓÚÜÑ".indexOf(c) >= 0
+
+  private[text] def countWords(text: String): Int = {
+    var count = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (isRegexWordChar(text.charAt(i))) {
+        val start = i
+        var allInClass = true
+        while (i < n && isRegexWordChar(text.charAt(i))) {
+          if (!inWordClass(text.charAt(i))) allInClass = false
+          i += 1
+        }
+        if (allInClass && i - start >= 2) count += 1
+      } else i += 1
+    }
+    count
+  }
 
   def calculate(text: String): Double =
     if (text == null) 0.0 else calculateLower(text, text.toLowerCase)
@@ -30,9 +54,7 @@ object Confidence {
     }
     val density = alnum.toDouble / text.length
 
-    var wordCount = 0
-    val m = wordPattern.matcher(text)
-    while (m.find()) wordCount += 1
+    val wordCount = countWords(text)
 
     val lower = lowerIn
     var markerScore = 0.0

@@ -26,9 +26,11 @@ object FieldExtractor {
     * lowercase `gates` literals occur in the (lowercased) text, the regex
     * CANNOT match and is skipped — pure pruning, identical results. Empty
     * gates = always run. `mrzRun` gates on a ≥30-char [A-Za-z0-9<] run
-    * (necessary for the MRZ patterns) instead of a literal. */
+    * (necessary for the MRZ patterns) instead of a literal. `minDigitRun`
+    * gates on the longest consecutive-digit run (a pattern containing
+    * `\d{k}` cannot match text whose longest run is < k). */
   final case class Gated(pattern: Pattern, gates: List[String] = Nil,
-      mrzRun: Boolean = false)
+      mrzRun: Boolean = false, minDigitRun: Int = 0)
 
   private def hasMrzRun(text: String): Boolean = {
     var run = 0
@@ -44,17 +46,17 @@ object FieldExtractor {
   }
 
   private val DatePatterns = List(
-    Gated(p("\\b(\\d{4}[-/]\\d{2}[-/]\\d{2})\\b")),
-    Gated(p("\\b(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})\\b")),
-    Gated(p("\\b(\\d{1,2}[/]\\d{1,2}[/]\\d{2,4})\\b")))
+    Gated(p("\\b(\\d{4}[-/]\\d{2}[-/]\\d{2})\\b"), minDigitRun = 4),
+    Gated(p("\\b(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})\\b"), minDigitRun = 1),
+    Gated(p("\\b(\\d{1,2}[/]\\d{1,2}[/]\\d{2,4})\\b"), minDigitRun = 1))
 
   private val DocNumberPatterns = List(
     Gated(p("\\b(?:DNI|NIE|NIF|ID|No\\.?|NUM\\.?|CÉDULA|CEDULA|DOC)[\\s:#]*([A-Z0-9?]{6,20})(?=[^A-Z0-9?]|$)")),
-    Gated(p("\\b([A-Z]{1,3}\\s?\\d{6,12})\\b")),
-    Gated(p("\\b(\\d{7,12}[A-Z]?)\\b")))
+    Gated(p("\\b([A-Z]{1,3}\\s?\\d{6,12})\\b"), minDigitRun = 6),
+    Gated(p("\\b(\\d{7,12}[A-Z]?)\\b"), minDigitRun = 7))
 
   private val PassportNumberPatterns = List(
-    Gated(p("\\b([A-Z]{1,2}\\d{6,8})\\b")),
+    Gated(p("\\b([A-Z]{1,2}\\d{6,8})\\b"), minDigitRun = 6),
     Gated(p("\\b([A-Z0-9]{8,9})\\b")))
 
   private val MrzPatterns = List(
@@ -95,12 +97,12 @@ object FieldExtractor {
   private val TaxNumberPatterns = List(
     Gated(p("(?:NIF|NIE|RFC|CPF|CNPJ|TIN|VAT|TAX\\s+ID)[:\\s#]*([A-Z0-9\\-\\.]{6,20})"),
       List("nif", "nie", "rfc", "cpf", "cnpj", "tin", "vat", "tax")),
-    Gated(p("\\b(\\d{3}[.\\-]\\d{3}[.\\-]\\d{3}[.\\-]\\d{1,2})\\b")),
-    Gated(p("\\b([A-Z]{4}\\d{6}[A-Z0-9]{3})\\b")))
+    Gated(p("\\b(\\d{3}[.\\-]\\d{3}[.\\-]\\d{3}[.\\-]\\d{1,2})\\b"), minDigitRun = 3),
+    Gated(p("\\b([A-Z]{4}\\d{6}[A-Z0-9]{3})\\b"), minDigitRun = 6))
 
   private val PanPatterns = List(
-    Gated(p("\\b(\\d{4}[\\s\\-]?\\d{4}[\\s\\-]?\\d{4}[\\s\\-]?\\d{4})\\b")),
-    Gated(p("\\b(\\d{4}[\\s\\-]?\\d{6}[\\s\\-]?\\d{5})\\b")))
+    Gated(p("\\b(\\d{4}[\\s\\-]?\\d{4}[\\s\\-]?\\d{4}[\\s\\-]?\\d{4})\\b"), minDigitRun = 4),
+    Gated(p("\\b(\\d{4}[\\s\\-]?\\d{6}[\\s\\-]?\\d{5})\\b"), minDigitRun = 4))
 
   private val CvvPatterns = List(
     Gated(p("(?:CVV|CVC|CVV2|CVC2|CSC)[:\\s]+(\\d{3,4})"),
@@ -397,11 +399,18 @@ object FieldExtractor {
     tryPatternsLower(text, text.toLowerCase, patterns)
 
   def tryPatternsLower(text: String, lower: String,
-      patterns: List[Gated]): Option[String] = {
+      patterns: List[Gated]): Option[String] =
+    tryPatternsLower(text, lower, patterns, graft.text.maxDigitRun(text))
+
+  /** Variant with the caller-precomputed longest digit run (one pass per
+    * document instead of one per pattern list). */
+  def tryPatternsLower(text: String, lower: String,
+      patterns: List[Gated], textMaxDigitRun: Int): Option[String] = {
     patterns.foreach { g =>
       val gateOk =
-        if (g.mrzRun) hasMrzRun(text)
-        else g.gates.isEmpty || g.gates.exists(lower.contains)
+        (g.minDigitRun == 0 || textMaxDigitRun >= g.minDigitRun) &&
+        (if (g.mrzRun) hasMrzRun(text)
+         else g.gates.isEmpty || g.gates.exists(lower.contains))
       if (gateOk) {
         val m = g.pattern.matcher(text)
         if (m.find()) {
@@ -470,11 +479,12 @@ object FieldExtractor {
     val definitions =
       FieldDefinitions.getOrElse(documentType, FieldDefinitions("id_document"))
 
+    val runLen = graft.text.maxDigitRun(text)
     val fields = List.newBuilder[FieldRow]
     val warnings = List.newBuilder[String]
     definitions.foreach { d =>
       if (!OmitFromResponse.contains(d.name)) {
-        tryPatternsLower(text, lower, d.patterns).foreach { raw =>
+        tryPatternsLower(text, lower, d.patterns, runLen).foreach { raw =>
           val (row, w) = buildField(d.name, raw, d.sensitive, d.baseConfidence, runYear)
           fields += row
           warnings ++= w

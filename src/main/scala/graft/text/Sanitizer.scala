@@ -82,34 +82,57 @@ object Sanitizer {
     if (text == null || text.isEmpty) return ""
     val scrubbed = dropUnpairedSurrogates(text)
 
-    val kept = new java.lang.StringBuilder(scrubbed.length)
+    // allowed-char filter with a zero-copy fast path (nothing dropped)
+    var drop = 0
     var i = 0
     while (i < scrubbed.length) {
       val c = scrubbed.charAt(i)
-      if (c > 127 || allowedAscii(c)) kept.append(c)
+      if (c <= 127 && !allowedAscii(c)) drop += 1
       i += 1
     }
+    val filtered =
+      if (drop == 0) scrubbed
+      else {
+        val kept = new java.lang.StringBuilder(scrubbed.length - drop)
+        i = 0
+        while (i < scrubbed.length) {
+          val c = scrubbed.charAt(i)
+          if (c > 127 || allowedAscii(c)) kept.append(c)
+          i += 1
+        }
+        kept.toString
+      }
 
-    var s = collapseWsStrip(kept.toString)
+    var s = collapseWsStrip(filtered)
+
+    // necessary-condition gates: all three digit-shaped regexes below
+    // need ASCII-digit content (span ≥11 digits, pair ≥3+3, tail ≥3);
+    // one cheap count pass skips them on digit-poor text — none of the
+    // rules adds or removes digits, so one count stays valid throughout
+    val nDigits = graft.text.digitCount(s)
 
     // long digit spans: separators → spaces within the span
-    val m: Matcher = longDigitSpan.matcher(s)
-    if (m.find()) {
-      val sb = new java.lang.StringBuilder(s.length)
-      m.reset()
-      while (m.find())
-        m.appendReplacement(sb, Matcher.quoteReplacement(normalizeSpan(m.group())))
-      m.appendTail(sb)
-      s = sb.toString
+    if (nDigits >= 11) {
+      val m: Matcher = longDigitSpan.matcher(s)
+      if (m.find()) {
+        val sb = new java.lang.StringBuilder(s.length)
+        m.reset()
+        while (m.find())
+          m.appendReplacement(sb, Matcher.quoteReplacement(normalizeSpan(m.group())))
+        m.appendTail(sb)
+        s = sb.toString
+      }
     }
 
     // fixpoint: dddd-dddd → dddd dddd
-    var previous = ""
-    while (previous != s) {
-      previous = s
-      s = pairSep.matcher(s).replaceAll("$1 $2")
+    if (nDigits >= 6) {
+      var previous = ""
+      while (previous != s) {
+        previous = s
+        s = pairSep.matcher(s).replaceAll("$1 $2")
+      }
     }
-    s = trailingSep.matcher(s).replaceAll("$1")
+    if (nDigits >= 3) s = trailingSep.matcher(s).replaceAll("$1")
 
     if (s.length > MaxLen) s.substring(0, MaxLen) + "..." else s
   }

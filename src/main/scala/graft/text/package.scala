@@ -65,8 +65,41 @@ package object text {
 
   private val wsRun = uPattern("\\s+")
 
-  /** re.sub(r"\s+", " ", s) with Unicode whitespace. */
-  def collapseWs(s: String): String = wsRun.matcher(s).replaceAll(" ")
+  /** Exactly the char set Java regex `\s` matches under
+    * UNICODE_CHARACTER_CLASS (Unicode White_Space) — NOT the same as
+    * `Character.isWhitespace` (which excludes NEL/NBSP-family chars).
+    * Kept in sync by the RegexParitySpec fuzz test. */
+  @inline def isRegexWs(c: Char): Boolean =
+    (c >= 0x09 && c <= 0x0d) || c == ' ' || c == 0x85 || c == 0xa0 ||
+      c == 0x1680 || (c >= 0x2000 && c <= 0x200a) || c == 0x2028 ||
+      c == 0x2029 || c == 0x202f || c == 0x205f || c == 0x3000
+
+  /** re.sub(r"\s+", " ", s) with Unicode whitespace. Hand-rolled single
+    * pass with a zero-copy fast path (already-collapsed input — the
+    * common case on the sanitize→analyze hot path — returns `s` itself). */
+  def collapseWs(s: String): String = {
+    var i = 0
+    val n = s.length
+    var clean = true
+    while (i < n && clean) {
+      val c = s.charAt(i)
+      if (isRegexWs(c) && (c != ' ' || (i + 1 < n && isRegexWs(s.charAt(i + 1)))))
+        clean = false
+      i += 1
+    }
+    if (clean) return s
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (isRegexWs(c)) {
+        sb.append(' ')
+        i += 1
+        while (i < n && isRegexWs(s.charAt(i))) i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** re.sub(r"\s+", " ", s).strip() */
   def collapseWsStrip(s: String): String = collapseWs(s).trim
@@ -81,12 +114,49 @@ package object text {
     if (a == 0 && b == s.length) s else s.substring(a, b)
   }
 
-  /** All runs of digits (re.findall(r"\d+", s)). */
+  /** All runs of digits (re.findall(r"\d+", s)) — hand-rolled single
+    * pass; `isPyDigit` is exactly `\d` under UNICODE_CHARACTER_CLASS
+    * (`\p{Nd}`, fuzz-checked in RegexParitySpec). */
   def digitGroups(s: String): List[String] = {
-    val m = uPattern("\\d+").matcher(s)
     val b = List.newBuilder[String]
-    while (m.find()) b += m.group()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (isPyDigit(s.charAt(i))) {
+        val start = i
+        while (i < n && isPyDigit(s.charAt(i))) i += 1
+        b += s.substring(start, i)
+      } else i += 1
+    }
     b.result()
+  }
+
+  /** Exactly Java regex `\w` under UNICODE_CHARACTER_CLASS:
+    * [\p{Alpha}\p{gc=Mn}\p{gc=Me}\p{gc=Mc}\p{Digit}\p{gc=Pc}\p{Join_Control}].
+    * Kept in sync by the RegexParitySpec fuzz test. */
+  @inline def isRegexWordChar(c: Char): Boolean = {
+    if (Character.isAlphabetic(c) || Character.isDigit(c)) true
+    else {
+      val t = Character.getType(c)
+      t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+        t == Character.COMBINING_SPACING_MARK ||
+        t == Character.CONNECTOR_PUNCTUATION || c == 0x200c || c == 0x200d
+    }
+  }
+
+  /** Longest run of consecutive digit chars — cheap necessary-condition
+    * gate for digit-shaped regexes (a pattern needing k consecutive
+    * digits cannot match when maxDigitRun < k). */
+  def maxDigitRun(s: String): Int = {
+    var best = 0
+    var run = 0
+    var i = 0
+    while (i < s.length) {
+      if (isPyDigit(s.charAt(i))) { run += 1; if (run > best) best = run }
+      else run = 0
+      i += 1
+    }
+    best
   }
 
   /** " ".join(s[i:i+4] for i in range(0,len,4)).strip() — group in 4s. */
