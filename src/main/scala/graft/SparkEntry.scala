@@ -468,6 +468,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- card-brand reference-data broadcast join (T13, oracled) --------
+    // deterministic candidate PANs built from doc_id (same expressions in
+    // the oracle); brands resolved by the REAL broadcast dimension join
+    // against the card_brand_rules table — the oracle derives expected
+    // brands independently from the known rule constants
+    "x_card_brands" -> ((s, dir) => {
+      val body = lpad(col("doc_id").cast("string"), 12, "0")
+      val number =
+        when(col("doc_id") % 6 === 0, concat(lit("4532"), body))
+          .when(col("doc_id") % 6 === 1, concat(lit("5105"), body))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("371"), lpad(col("doc_id").cast("string"), 12, "0")))
+          .when(col("doc_id") % 6 === 3, concat(lit("6011"), body))
+          .when(col("doc_id") % 6 === 4,
+            concat(lit("36"), body))
+          .otherwise(concat(lit("9999"), body))
+      val nums = t(s, dir, "documents")
+        .select(col("doc_id"), number.as("number"))
+      graft.ops.BrandRules.classify(nums, "number", "doc_id")
+        .select(col("doc_id"), col("number"), col("brand"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- fintech normalizer over extracted text (rows-only; golden) -----
     "x_extract_normalized" -> ((s, _) => {
       val results = graft.pipeline.ExtractPipeline
@@ -758,6 +781,23 @@ object SparkEntry {
         "(PARTITION BY cluster ORDER BY uncertainty_e6 DESC, doc_id ASC) AS sel_rank FROM c) " +
         "SELECT cluster, doc_id, uncertainty_e6, sel_rank FROM r " +
         "WHERE sel_rank <= 5 ORDER BY cluster, sel_rank"),
+
+    "x_card_brands" ->
+      ("WITH n AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 6 = 0 THEN '4532' || lpad(CAST(doc_id AS VARCHAR), 12, '0') " +
+        "WHEN doc_id % 6 = 1 THEN '5105' || lpad(CAST(doc_id AS VARCHAR), 12, '0') " +
+        "WHEN doc_id % 6 = 2 THEN '371' || lpad(CAST(doc_id AS VARCHAR), 12, '0') " +
+        "WHEN doc_id % 6 = 3 THEN '6011' || lpad(CAST(doc_id AS VARCHAR), 12, '0') " +
+        "WHEN doc_id % 6 = 4 THEN '36' || lpad(CAST(doc_id AS VARCHAR), 12, '0') " +
+        "ELSE '9999' || lpad(CAST(doc_id AS VARCHAR), 12, '0') END AS number " +
+        "FROM documents) " +
+        "SELECT doc_id, number, CASE " +
+        "WHEN doc_id % 6 = 0 THEN 'Visa' " +
+        "WHEN doc_id % 6 = 1 THEN 'MasterCard' " +
+        "WHEN doc_id % 6 = 2 THEN 'American Express' " +
+        "WHEN doc_id % 6 = 3 THEN 'Discover' " +
+        "WHEN doc_id % 6 = 4 THEN 'Diners Club - International' " +
+        "ELSE 'unknown' END AS brand FROM n ORDER BY doc_id"),
 
     "x_normalize_lines" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -37,13 +37,27 @@ object PdfParser {
     pages.mkString(PageBreak)
   }
 
+  /** Page texts. Page boundaries come from the page tree (Catalog →
+    * Pages → Kids): a page whose /Contents is an ARRAY of streams is one
+    * page, not several (stream-order counting got this wrong). Falls back
+    * to stream-order when no page tree parses (truncated/malformed docs).
+    * 2-byte CID hex strings (Type0/Identity-H docs) are mapped through
+    * the ToUnicode CMap when present; unmapped codes become U+FFFD
+    * instead of garbage. */
   def extractPages(bytes: Array[Byte]): List[String] = {
-    val streams = findStreams(bytes)
+    val objs = parseObjects(bytes)
+    val cidDoc = objs.values.exists(o =>
+      o.dict.contains("/Type0") || o.dict.contains("/Identity-H"))
+    val toUni = if (cidDoc) parseToUnicode(objs) else Map.empty[Int, String]
+    val pageContents = pageContentStreams(objs)
+    val sources =
+      if (pageContents.nonEmpty) pageContents
+      else findStreams(bytes) // fallback: legacy stream order
     val pageTexts = List.newBuilder[String]
     var pageCount = 0
-    streams.foreach { s =>
+    sources.foreach { s =>
       if (pageCount < MaxPages) {
-        val runs = interpretContent(s)
+        val runs = interpretContent(s, cidDoc, toUni)
         if (runs.nonEmpty) {
           pageTexts += XYCut.layout(runs)
           pageCount += 1
@@ -51,6 +65,186 @@ object PdfParser {
       }
     }
     pageTexts.result()
+  }
+
+  // ------------------------------------------------------------------
+  // object table + page tree
+
+  private[pdf] final case class PdfObj(dict: String, stream: Option[String])
+
+  private val objHeader =
+    java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+obj\\b")
+  private val refPattern =
+    java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R\\b")
+
+  /** Indirect objects: number → (dict text, decoded stream payload). */
+  private[pdf] def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
+    if (bytes == null || bytes.length < 16) return Map.empty
+    val doc = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = Map.newBuilder[Int, PdfObj]
+    val m = objHeader.matcher(doc)
+    var guard = 0
+    while (m.find() && guard < 10000) {
+      guard += 1
+      val num = m.group(1).toInt
+      val bodyStart = m.end()
+      val endObj = doc.indexOf("endobj", bodyStart)
+      val bodyEnd = if (endObj < 0) doc.length else endObj
+      val si = doc.indexOf("stream", bodyStart)
+      if (si >= 0 && si < bodyEnd) {
+        val dict = doc.substring(bodyStart, si)
+        var dataStart = si + "stream".length
+        if (dataStart < doc.length && doc.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < doc.length && doc.charAt(dataStart) == '\n') dataStart += 1
+        val ei = doc.indexOf("endstream", dataStart)
+        if (ei >= 0) {
+          var dataEnd = ei
+          if (dataEnd > dataStart && doc.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+          if (dataEnd > dataStart && doc.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+          val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          val payload =
+            if (dict.contains("/FlateDecode")) inflate(raw) else raw
+          out += num -> PdfObj(dict,
+            Option(payload).map(p =>
+              new String(p, java.nio.charset.StandardCharsets.ISO_8859_1)))
+        } else out += num -> PdfObj(dict, None)
+      } else {
+        out += num -> PdfObj(doc.substring(bodyStart, bodyEnd), None)
+      }
+    }
+    out.result()
+  }
+
+  private def refsIn(s: String): List[Int] = {
+    val m = refPattern.matcher(s)
+    val b = List.newBuilder[Int]
+    while (m.find()) b += m.group(1).toInt
+    b.result()
+  }
+
+  private def dictValue(dict: String, key: String): Option[String] = {
+    val i = dict.indexOf(key)
+    if (i < 0) return None
+    // up to the next key or dict end — enough for refs/arrays
+    var j = i + key.length
+    var depth = 0
+    val sb = new java.lang.StringBuilder()
+    var done = false
+    while (j < dict.length && !done) {
+      val c = dict.charAt(j)
+      if (c == '[') depth += 1
+      else if (c == ']') { depth -= 1; sb.append(c); j += 1; if (depth == 0) done = true }
+      if (!done) {
+        if (c == '/' && depth == 0 && sb.length() > 0) done = true
+        else if (c == '>' && depth == 0) done = true
+        else { sb.append(c); j += 1 }
+      }
+    }
+    Some(sb.toString)
+  }
+
+  private val typePage =
+    java.util.regex.Pattern.compile("/Type\\s*/Page(?![a-zA-Z])")
+  private val typePages =
+    java.util.regex.Pattern.compile("/Type\\s*/Pages(?![a-zA-Z])")
+
+  /** One concatenated content-stream text per page, in page-tree order. */
+  private[pdf] def pageContentStreams(objs: Map[Int, PdfObj]): List[String] = {
+    if (objs.isEmpty) return Nil
+    // roots: /Pages nodes not referenced as a Kid of another /Pages node
+    val pagesNodes = objs.filter(o => typePages.matcher(o._2.dict).find())
+    val pageObjs = objs.filter(o => typePage.matcher(o._2.dict).find())
+    if (pageObjs.isEmpty) return Nil
+
+    val kidRefs: Map[Int, List[Int]] = pagesNodes.map { case (n, o) =>
+      n -> dictValue(o.dict, "/Kids").map(refsIn).getOrElse(Nil)
+    }
+    val allKids = kidRefs.values.flatten.toSet
+    val roots = pagesNodes.keys.filterNot(allKids.contains).toList.sorted
+
+    val ordered = List.newBuilder[Int]
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(n: Int, depth: Int): Unit = {
+      if (depth > 32 || seen.contains(n)) return
+      seen += n
+      if (pageObjs.contains(n)) ordered += n
+      else kidRefs.getOrElse(n, Nil).foreach(walk(_, depth + 1))
+    }
+    roots.foreach(walk(_, 0))
+    // pages outside any discovered tree (orphan Page objects): append in
+    // object order so malformed docs still extract
+    pageObjs.keys.toList.sorted.foreach(n =>
+      if (!seen.contains(n)) ordered += n)
+
+    ordered.result().flatMap { n =>
+      val contents = dictValue(pageObjs(n).dict, "/Contents")
+        .map(refsIn).getOrElse(Nil)
+      val parts = contents.flatMap(objs.get).flatMap(_.stream)
+      if (parts.isEmpty) None else Some(parts.mkString("\n"))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // ToUnicode CMaps (bfchar/bfrange), merged document-wide
+
+  private val hexPair = java.util.regex.Pattern.compile(
+    "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>")
+  private val hexTriple = java.util.regex.Pattern.compile(
+    "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>")
+
+  private def utf16beOfHex(hex: String): String = {
+    val sb = new java.lang.StringBuilder(hex.length / 4 + 1)
+    var k = 0
+    while (k + 4 <= hex.length) {
+      sb.append(Integer.parseInt(hex.substring(k, k + 4), 16).toChar)
+      k += 4
+    }
+    if (k < hex.length) // odd tail: best-effort single byte
+      sb.append(Integer.parseInt(hex.substring(k), 16).toChar)
+    sb.toString
+  }
+
+  /** Merge every ToUnicode CMap in the document: CID code → string. */
+  private[pdf] def parseToUnicode(objs: Map[Int, PdfObj]): Map[Int, String] = {
+    val out = scala.collection.mutable.HashMap.empty[Int, String]
+    objs.values.flatMap(_.stream).foreach { s =>
+      if (s.contains("begincmap") || s.contains("beginbfchar") ||
+          s.contains("beginbfrange")) {
+        // bfchar sections: <src> <dst>
+        var i = 0
+        while ({ i = s.indexOf("beginbfchar", i); i >= 0 }) {
+          val end = s.indexOf("endbfchar", i)
+          val section = if (end < 0) s.substring(i) else s.substring(i, end)
+          val m = hexPair.matcher(section)
+          while (m.find() && out.size < 65536)
+            out(Integer.parseInt(m.group(1), 16)) = utf16beOfHex(m.group(2))
+          i = if (end < 0) s.length else end + 1
+        }
+        // bfrange sections: <lo> <hi> <dstStart> (array form rare; skipped)
+        i = 0
+        while ({ i = s.indexOf("beginbfrange", i); i >= 0 }) {
+          val end = s.indexOf("endbfrange", i)
+          val section = if (end < 0) s.substring(i) else s.substring(i, end)
+          val m = hexTriple.matcher(section)
+          while (m.find() && out.size < 65536) {
+            val lo = Integer.parseInt(m.group(1), 16)
+            val hi = math.min(Integer.parseInt(m.group(2), 16), lo + 65535)
+            val dst = utf16beOfHex(m.group(3))
+            var c = lo
+            while (c <= hi && out.size < 65536) {
+              val shifted =
+                if (dst.isEmpty) ""
+                else dst.substring(0, dst.length - 1) +
+                  (dst.charAt(dst.length - 1) + (c - lo)).toChar
+              out(c) = shifted
+              c += 1
+            }
+          }
+          i = if (end < 0) s.length else end + 1
+        }
+      }
+    }
+    out.toMap
   }
 
   // ------------------------------------------------------------------
@@ -118,7 +312,7 @@ object PdfParser {
 
   private sealed trait Tok
   private final case class TNum(v: Double) extends Tok
-  private final case class TStr(v: String) extends Tok
+  private final case class TStr(v: String, hex: Boolean = false) extends Tok
   private final case class TName(v: String) extends Tok
   private final case class TOp(v: String) extends Tok
   private case object TArrOpen extends Tok
@@ -200,7 +394,7 @@ object PdfParser {
       if (c == '(') TStr(readLiteralString())
       else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') {
         i += 2; TOp("<<")
-      } else if (c == '<') TStr(readHexString())
+      } else if (c == '<') TStr(readHexString(), hex = true)
       else if (c == '>' && i + 1 < s.length && s.charAt(i + 1) == '>') {
         i += 2; TOp(">>")
       } else if (c == '[') { i += 1; TArrOpen }
@@ -234,7 +428,25 @@ object PdfParser {
   }
 
   /** Interpret one content stream into positioned glyph runs. */
-  private[pdf] def interpretContent(content: String): List[GlyphRun] = {
+  private[pdf] def interpretContent(content: String): List[GlyphRun] =
+    interpretContent(content, cid = false, Map.empty)
+
+  /** Map a hex string's byte-chars as 2-byte CIDs through the ToUnicode
+    * table; unmapped codes (and odd trailing bytes) become U+FFFD. */
+  private def decodeCid(raw: String, toUni: Map[Int, String]): String = {
+    val sb = new java.lang.StringBuilder(raw.length / 2 + 1)
+    var k = 0
+    while (k + 1 < raw.length) {
+      val code = (raw.charAt(k) << 8) | raw.charAt(k + 1)
+      sb.append(toUni.getOrElse(code, "\uFFFD"))
+      k += 2
+    }
+    if (k < raw.length) sb.append('\uFFFD')
+    sb.toString
+  }
+
+  private[pdf] def interpretContent(content: String, cid: Boolean,
+      toUni: Map[Int, String]): List[GlyphRun] = {
     if (!content.contains("BT")) return Nil
     val runs = List.newBuilder[GlyphRun]
     var count = 0
@@ -262,7 +474,8 @@ object PdfParser {
       it.next() match {
         case TNum(v) =>
           if (inArray) arr += Right(v) else nums += v
-        case TStr(v) =>
+        case TStr(raw, isHex) =>
+          val v = if (cid && isHex) decodeCid(raw, toUni) else raw
           if (inArray) arr += Left(v) else lastStr = v
         case TArrOpen => inArray = true; arr.clear()
         case TArrClose => inArray = false

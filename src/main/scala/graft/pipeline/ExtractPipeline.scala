@@ -64,6 +64,50 @@ object ExtractPipeline {
     fs.exists(path)
   }
 
+  /** Persistence half of the O7 protocol, separated from the control
+    * flow so an Iceberg-catalog sink can replace parquet without
+    * rewriting `run()`: an Iceberg implementation maps `writeResults`
+    * to `overwritePartitions()` (same idempotent-replay semantics the
+    * dynamic-overwrite parquet write provides), `appendLineage` to a
+    * table append, `committedBuckets` to a snapshot scan. */
+  trait CommitProtocol {
+    /** Bucket ids already committed for `runId` (resume filter). */
+    def committedBuckets(spark: SparkSession, runId: String): Set[Int]
+    /** Idempotent bucket-partitioned result write (replaying a bucket
+      * must replace exactly its own output). */
+    def writeResults(results: DataFrame): Unit
+    /** Atomic-append of per-bucket lineage commit rows. */
+    def appendLineage(lineage: DataFrame): Unit
+  }
+
+  /** Parquet implementation: dynamic partition overwrite + parquet
+    * append. */
+  final class ParquetCommitProtocol(outDir: String, lineageDir: String)
+      extends CommitProtocol {
+    def committedBuckets(spark: SparkSession, runId: String): Set[Int] = {
+      import spark.implicits._
+      if (lineageExists(spark, lineageDir)) {
+        spark.read.parquet(lineageDir)
+          .filter($"run_id" === runId)
+          .select($"partition_id")
+          .distinct()
+          .as[Int]
+          .collect()
+          .toSet
+      } else Set.empty
+    }
+    def writeResults(results: DataFrame): Unit = {
+      results.sparkSession.conf
+        .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      results.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(outDir)
+    }
+    def appendLineage(lineage: DataFrame): Unit =
+      lineage.write.mode(SaveMode.Append).parquet(lineageDir)
+  }
+
   final case class RunSummary(
       runId: String,
       bucketsTotal: Int,
@@ -91,19 +135,21 @@ object ExtractPipeline {
       lineageDir: String,
       runId: String,
       buckets: Int,
-      salt: Int = DefaultSalt): RunSummary = {
+      salt: Int = DefaultSalt): RunSummary =
+    run(spark, pagesDs, new ParquetCommitProtocol(outDir, lineageDir),
+      runId, buckets, salt)
+
+  /** Sink-agnostic variant: all persistence goes through `protocol`. */
+  def run(
+      spark: SparkSession,
+      pagesDs: Dataset[PageRow],
+      protocol: CommitProtocol,
+      runId: String,
+      buckets: Int,
+      salt: Int): RunSummary = {
     import spark.implicits._
 
-    val committed: Set[Int] =
-      if (lineageExists(spark, lineageDir)) {
-        spark.read.parquet(lineageDir)
-          .filter($"run_id" === runId)
-          .select($"partition_id")
-          .distinct()
-          .as[Int]
-          .collect()
-          .toSet
-      } else Set.empty
+    val committed: Set[Int] = protocol.committedBuckets(spark, runId)
 
     val withBucket = pruneForShuffle(pagesDs)
       .withColumn("bucket", pmod(hash(col("url"), lit(salt)), lit(buckets)))
@@ -121,12 +167,8 @@ object ExtractPipeline {
       .select(col("result.*"), col("bucket"))
       .cache()
 
-    // idempotent write: dynamic overwrite replaces only touched buckets
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    results.write
-      .mode(SaveMode.Overwrite)
-      .partitionBy("bucket")
-      .parquet(outDir)
+    // idempotent write: a replayed bucket replaces only its own output
+    protocol.writeResults(results)
 
     // per-bucket lineage/metrics commit rows (one aggregate, map-combined)
     val lineage = results
@@ -141,7 +183,7 @@ object ExtractPipeline {
       .select("run_id", "partition_id", "input_fingerprint", "docs_in",
         "docs_out", "bytes", "extractor_version")
 
-    lineage.write.mode(SaveMode.Append).parquet(lineageDir)
+    protocol.appendLineage(lineage)
 
     val stats = lineage.agg(
       count(lit(1)), coalesce(sum("docs_in"), lit(0L)),

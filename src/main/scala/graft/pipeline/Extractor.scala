@@ -85,15 +85,20 @@ object Extractor {
   private def extractPdf(row: PageRow): ExtractResult = {
     val raw = PdfParser.extractText(row.html)
     val text = Sanitizer.sanitize(raw)
-    // layout stats over per-line pseudo-regions (K7 thresholds)
+    // layout stats over per-line pseudo-regions (K7 thresholds,
+    // layout.py:74-93: regions>20 & small avg area → dense; <10 regions
+    // & one region >0.4 of the page → large blocks). The area-ratio
+    // analog is each line's share of total chars; the dense test uses
+    // the MAX share (mean share is 1/lines by construction — the
+    // round-1 stat was degenerate and carried no signal).
     val lines = raw.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toVector
     val layout =
       if (lines.isEmpty) "empty"
       else {
-        val total = lines.map(_.length.toLong).sum.toDouble
-        val ratios = lines.map(_.length / total)
-        if (lines.size > 20 && ratios.sum / lines.size < 0.05) "dense_text"
-        else if (lines.size < 10 && ratios.exists(_ > 0.4)) "large_blocks"
+        val total = math.max(1L, lines.map(_.length.toLong).sum).toDouble
+        val maxShare = lines.map(_.length / total).max
+        if (lines.size > 20 && maxShare < 0.1) "dense_text"
+        else if (lines.size < 10 && maxShare > 0.4) "large_blocks"
         else "standard_form"
       }
     finish(row, text, layout, List("pdf:xycut"))

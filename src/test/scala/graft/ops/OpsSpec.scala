@@ -378,6 +378,27 @@ class OpsSpec extends AnyFunSuite {
       spark, dir.toString + "/nope"))
   }
 
+  test("brand rules broadcast join: longest prefix wins, dups kept") {
+    val nums = Seq(
+      (1L, "4532000000000000"), // Visa (prefix 4532 > 4)
+      (2L, "5400000000000000"), // 54: Diners USA&Canada beats MasterCard (tie len, brand asc)
+      (3L, "370000000000000"),  // Amex 15
+      (4L, "9999000000000000"), // unknown
+      (5L, "4532000000000000")  // duplicate number, distinct row
+    ).toDF("id", "number")
+    val out = BrandRules.classify(nums, "number", "id")
+      .select($"id", $"brand").as[(Long, String)].collect().toMap
+    assert(out.size == 5)
+    assert(out(1L) == "Visa" && out(5L) == "Visa")
+    assert(out(2L) == "Diners Club - USA & Canada")
+    assert(out(3L) == "American Express")
+    assert(out(4L) == "unknown")
+    // the plan actually broadcasts the dimension side
+    val plan = BrandRules.classify(nums, "number", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), plan.take(400))
+  }
+
   test("charset sniffing decodes latin-1 pages") {
     val html = "<html><head><meta charset=\"iso-8859-1\"></head>" +
       "<body><p>caf\u00e9</p></body></html>"

@@ -73,6 +73,57 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(PdfParser.extractText(pdf(content)) == "a\nb")
   }
 
+  test("page tree: one page split across two content streams is ONE page") {
+    val c1 = "BT /F1 12 Tf 72 720 Td (Top half) Tj ET"
+    val c2 = "BT /F1 12 Tf 72 700 Td (Bottom half) Tj ET"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >> endobj\n" +
+      s"4 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n" +
+      s"5 0 obj << /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes(UTF_8)
+    // no PAGE BREAK: both streams belong to page 3
+    assert(PdfParser.extractText(bytes) == "Top half\nBottom half")
+  }
+
+  test("page tree: kid order wins over object order") {
+    val c1 = "BT /F1 12 Tf 72 720 Td (Second in file, first in tree) Tj ET"
+    val c2 = "BT /F1 12 Tf 72 720 Td (First in file, second in tree) Tj ET"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [6 0 R 3 0 R] /Count 2 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n" +
+      s"5 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n" +
+      "6 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n" +
+      "%%EOF\n").getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) ==
+      "Second in file, first in tree\n\n--- PAGE BREAK ---\n\n" +
+        "First in file, second in tree")
+  }
+
+  test("CID hex strings map through ToUnicode; unmapped becomes U+FFFD") {
+    // ToUnicode CMap: CID 0001->H, 0002->i, range 0010..0012 -> a,b,c
+    val cmap = "/CIDInit /ProcSet findresource begin begincmap\n" +
+      "2 beginbfchar\n<0001> <0048>\n<0002> <0069>\nendbfchar\n" +
+      "1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n" +
+      "endcmap end"
+    val content = "BT /F1 12 Tf 72 720 Td <0001 0002> Tj " +
+      "0 -14 Td <0010 0011 0012> Tj 0 -14 Td <0001 00FF> Tj ET"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+      "/ToUnicode 6 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes(UTF_8)
+    val text = PdfParser.extractText(bytes)
+    assert(text == "Hi\nabc\nH�", text.map(_.toInt).mkString(","))
+  }
+
   test("garbage never throws") {
     assert(PdfParser.extractText("%PDF-1.4 garbage".getBytes(UTF_8)) == "")
     val r = new java.util.Random(1)
