@@ -7,7 +7,11 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q1_pricing_summary", "q2_top_customers", "q13_supply_join", "q8_token_counts")) {
+    val targets =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q1_pricing_summary", "q2_top_customers", "q13_supply_join",
+        "q8_token_counts")
+    for (q <- targets) {
       println(s"===== $q =====")
       println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

