@@ -171,7 +171,7 @@ object IvfIndex {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     queries.join(candidates, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Similarity.cosineUdf(col("query_emb"), col("neighbor_emb")))
+      .withColumn("cos", Similarity.cosineFast(col("query_emb"), col("neighbor_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))

@@ -43,11 +43,12 @@ object Similarity {
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
-  /** Primitive-loop cosine UDF — bit-identical to [[cosine]] (left-to-
-    * right double accumulation; RegexParitySpec-style parity asserted in
-    * OpsSpec). */
-  private[ops] val cosineUdf =
-    udf((a: Seq[Float], b: Seq[Float]) => SimilarityKernel.cosineDouble(a, b))
+  /** Cosine for the hot paths: a native binary Catalyst expression over
+    * the raw ArrayData (graft.sql.GraftCosine) — primitive access, stays
+    * in whole-stage codegen. Bit-identical to [[cosine]] and to
+    * [[SimilarityKernel.cosineDouble]] (asserted in OpsSpec). */
+  private[ops] def cosineFast(a: Column, b: Column): Column =
+    graft.sql.GraftFunctions.graft_cosine(a, b)
 
   /** Exact top-k cosine neighbors for each query vector.
     * `queries` must be small (it is broadcast). Self-matches excluded. */
@@ -56,7 +57,7 @@ object Similarity {
       col("embedding").as("query_emb"))
     val joined = corpus
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosineUdf(col("query_emb"), col("embedding")))
+      .withColumn("cos", cosineFast(col("query_emb"), col("embedding")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -78,7 +79,7 @@ object Similarity {
     val right = corpus.select(col("vec_id").as("b"),
       col("embedding").as("emb_b"))
     left.join(broadcast(right), col("a") < col("b"))
-      .withColumn("cos", cosineUdf(col("emb_a"), col("emb_b")))
+      .withColumn("cos", cosineFast(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }
@@ -136,8 +137,12 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     left.join(right, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // cosine BEFORE the pair dedup: the expression is ~1 µs/pair, so
+      // recomputing it for the ≤T duplicate sightings is far cheaper
+      // than shuffling embedding-carrying rows through dropDuplicates
+      .withColumn("cos", cosineFast(col("query_emb"), col("neighbor_emb")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
       .dropDuplicates("query_id", "neighbor_id") // pair found in ≤T tables
-      .withColumn("cos", cosineUdf(col("query_emb"), col("neighbor_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -155,10 +160,10 @@ object Similarity {
       col("embedding").as("emb_b"))
     left.join(right, Seq("bucket"))
       .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b")
-      .withColumn("cos", cosineUdf(col("emb_a"), col("emb_b")))
-      .filter(col("cos") >= threshold)
+      .withColumn("cos", cosineFast(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold) // verify before dedup: fewer rows
       .select(col("a"), col("b"), col("cos"))
+      .dropDuplicates("a", "b")
   }
 }
 

@@ -387,7 +387,8 @@ class OpsSpec extends AnyFunSuite {
     val b = emb.select($"vec_id".as("vb"), $"embedding".as("eb"))
     val pairs = a.join(broadcast(b), $"vec_id" < $"vb")
     val viaUdf = pairs.select(
-      Similarity.cosineUdf($"ea", $"eb").as("c")).as[Double].collect()
+      graft.sql.GraftFunctions.graft_cosine($"ea", $"eb").as("c"))
+      .as[Double].collect()
     val viaHof = pairs.select(
       Similarity.cosine($"ea", $"eb").as("c")).as[Double].collect()
     assert(viaUdf.length == viaHof.length)
