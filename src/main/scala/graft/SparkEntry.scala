@@ -307,12 +307,14 @@ object SparkEntry {
     }),
 
     // exact pairwise word-shingle Jaccard (the oracle twin the minhash
-    // estimate approximates): top-100 closest pairs on a doc_id%5 sample,
-    // pure built-in array functions (codegen) on the Spark side
+    // estimate approximates): top-100 closest pairs on a doc_id%10
+    // sample — quadratic by design (oracle baseline, never the scale
+    // path; the pair join is copy-bound on the shingle arrays, so the
+    // sample bounds its cost)
     "x_jaccard_exact" -> ((s, dir) => {
       val toks = array_remove(split(lower(col("text")), "\\s+"), "")
       val d = t(s, dir, "documents")
-        .filter(col("doc_id") % 5 === 0)
+        .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), toks.as("toks"))
         .withColumn("nt", size(col("toks")))
         .withColumn("sh",
@@ -323,10 +325,14 @@ object SparkEntry {
                 element_at(col("toks"), i + 2)))))
             .when(col("nt") > 0, array(concat_ws(" ", col("toks"))))
             .otherwise(array().cast("array<string>")))
-        .select(col("doc_id"), col("sh"))
+        // pre-sort once per doc so the pair-level intersection is a
+        // linear merge (graft_sorted_overlap) instead of a hash-set
+        // build per pair — identical count (inputs distinct + sorted)
+        .select(col("doc_id"), array_sort(col("sh")).as("sh"))
       val a = d.select(col("doc_id").as("a"), col("sh").as("sh_a"))
       val b = d.select(col("doc_id").as("b"), col("sh").as("sh_b"))
-      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      val inter = graft.sql.GraftFunctions.graft_sorted_overlap(
+        col("sh_a"), col("sh_b"))
       val pairs = a.join(broadcast(b), col("a") < col("b"))
         .withColumn("inter", inter)
         .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
@@ -682,7 +688,7 @@ object SparkEntry {
     "x_jaccard_exact" ->
       ("WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
         "lower(text), '\\s+'), t -> t <> '') AS toks " +
-        "FROM documents WHERE doc_id % 5 = 0), " +
+        "FROM documents WHERE doc_id % 10 = 0), " +
         "s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
         "list_distinct(list_transform(range(1, len(toks) - 1), " +
         "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +

@@ -76,6 +76,25 @@ object GraftKernels {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Overlap (intersection size) of two SORTED, DISTINCT string arrays
+    * by linear merge — no per-pair hash-set builds. Equal to
+    * size(array_intersect(a, b)) when both inputs are distinct + sorted
+    * (parity asserted in OpsSpec). */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i)
+      val y = b.getUTF8String(j)
+      val c = x.compareTo(y)
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
   /** Cosine over two float arrays, accumulated left-to-right in double —
     * bit-identical to the DuckDB oracle's list_inner_product fold and to
     * SimilarityKernel.cosineDouble. Operates on ArrayData directly
@@ -172,6 +191,19 @@ case class GraftCosine(left: Expression, right: Expression)
       l: Expression, r: Expression): GraftCosine = copy(l, r)
 }
 
+/** Sorted-array overlap count (exact-Jaccard hot loop). */
+case class GraftSortedOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftKernels.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.sql.GraftKernels.sortedOverlap($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GraftSortedOverlap = copy(l, r)
+}
+
 /** Column-API + SQL registration for the expression suite. */
 object GraftFunctions {
   def graft_sanitize(c: Column): Column =
@@ -186,6 +218,8 @@ object GraftFunctions {
     ColumnBridge.column(GraftFingerprint(expression(c)))
   def graft_cosine(a: Column, b: Column): Column =
     ColumnBridge.column(GraftCosine(expression(a), expression(b)))
+  def graft_sorted_overlap(a: Column, b: Column): Column =
+    ColumnBridge.column(GraftSortedOverlap(expression(a), expression(b)))
 
   private def expression(c: Column): Expression = ColumnBridge.expression(c)
 
@@ -204,5 +238,7 @@ object GraftFunctions {
       exprs => GraftFingerprint(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => GraftCosine(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sorted_overlap",
+      exprs => GraftSortedOverlap(exprs.head, exprs(1)), "scala_udf")
   }
 }

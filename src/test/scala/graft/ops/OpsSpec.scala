@@ -398,6 +398,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sorted overlap == array_intersect size on distinct sorted arrays") {
+    val r = new java.util.Random(17)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh", "zz")
+    val rows = (0L until 40L).map { i =>
+      val set = (0 until r.nextInt(9)).map(_ => vocab(r.nextInt(vocab.length)))
+        .distinct.sorted
+      (i, set)
+    }.toDF("id", "arr")
+    val a = rows.select($"id".as("ia"), $"arr".as("aa"))
+    val b = rows.select($"id".as("ib"), $"arr".as("ab"))
+    val pairs = a.join(broadcast(b), $"ia" < $"ib")
+    val out = pairs.select(
+      graft.sql.GraftFunctions.graft_sorted_overlap($"aa", $"ab").as("fast"),
+      size(array_intersect($"aa", $"ab")).as("ref"))
+      .as[(Int, Int)].collect()
+    assert(out.nonEmpty && out.forall(p => p._1 == p._2))
+  }
+
   test("brand rules broadcast join: longest prefix wins, dups kept") {
     val nums = Seq(
       (1L, "4532000000000000"), // Visa (prefix 4532 > 4)
