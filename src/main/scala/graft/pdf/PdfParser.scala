@@ -132,13 +132,14 @@ object PdfParser {
     var done = false
     while (j < dict.length && !done) {
       val c = dict.charAt(j)
-      if (c == '[') depth += 1
-      else if (c == ']') { depth -= 1; sb.append(c); j += 1; if (depth == 0) done = true }
-      if (!done) {
-        if (c == '/' && depth == 0 && sb.length() > 0) done = true
-        else if (c == '>' && depth == 0) done = true
-        else { sb.append(c); j += 1 }
+      if (c == '[') { depth += 1; sb.append(c); j += 1 }
+      else if (c == ']') {
+        depth -= 1; sb.append(c); j += 1
+        if (depth == 0) done = true
       }
+      else if (c == '/' && depth == 0 && sb.length() > 0) done = true
+      else if (c == '>' && depth == 0) done = true
+      else { sb.append(c); j += 1 }
     }
     Some(sb.toString)
   }
