@@ -145,24 +145,37 @@ object Dedup {
     * 4×16-bit band equality. Recall bound: a pair ≤3 bits apart ALWAYS
     * shares one of the 4 bands (pigeonhole) — exact for maxDistance ≤ 3;
     * beyond that, candidates require a lucky identical band (standard
-    * simhash-dedup operating point is distance ≤ 3). */
-  def simhashNearDups(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
-    val sketched = docs.select(col("doc_id"),
+    * simhash-dedup operating point is distance ≤ 3).
+    *
+    * Same hot-bucket defusal as minhash: exact-dedup pre-pass collapses
+    * byte-identical floods (identical text ⇒ identical sketch ⇒ shared
+    * EVERY band) and a per-bucket cap bounds residual mass-identical
+    * sketches. Hamming stays in codegen (`bit_count(a XOR b)`). */
+  def simhashNearDups(docs: DataFrame, maxDistance: Int = 3,
+      exactPrepass: Boolean = true,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val base = if (exactPrepass) exactSurvivors(docs) else docs
+    val sketched = base.select(col("doc_id"),
       graft_simhash(col("text")).as("sh"))
     val banded = sketched.select(
       col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "band_val")))
-    val a = banded.select(col("band"), col("band_val"),
+    val wCap = Window.partitionBy(col("band"), col("band_val"))
+      .orderBy(col("doc_id"))
+    val capped = banded
+      .withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= bucketCap)
+      .drop("rn")
+    val a = capped.select(col("band"), col("band_val"),
       col("doc_id").as("a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_val"),
+    val b = capped.select(col("band"), col("band_val"),
       col("doc_id").as("b"), col("sh").as("sh_b"))
-    val hammingUdf = udf((x: Long, y: Long) => java.lang.Long.bitCount(x ^ y))
     a.join(b, Seq("band", "band_val"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        hammingUdf(col("sh_a"), col("sh_b")).as("hamming"))
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }

@@ -75,11 +75,25 @@ class OpsSpec extends AnyFunSuite {
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
     val different = "one two three four five six seven eight nine ten " +
       "eleven twelve thirteen fourteen"
-    // exact duplicate (distance 0) must always be caught; unrelated not
+    // exact duplicate (distance 0) is caught by the raw sketch path...
     val d = docs(1L -> base, 2L -> base, 3L -> different)
-    val pairs = Dedup.simhashNearDups(d, maxDistance = 3)
+    val raw = Dedup.simhashNearDups(d, maxDistance = 3, exactPrepass = false)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    assert(pairs == Set((1L, 2L)))
+    assert(raw == Set((1L, 2L)))
+    // ...and collapsed by the exact pre-pass (default), like minhash
+    assert(Dedup.simhashNearDups(d, maxDistance = 3).count() == 0L)
+    // a 1-word edit (sketch within 3 bits) still surfaces as a near-dup
+    val d2 = docs(1L -> base, 2L -> base.replace("upsilon", "omega"),
+      3L -> different)
+    val near = Dedup.simhashNearDups(d2, maxDistance = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(near == Set((1L, 2L)), near.toString)
+    // hot-bucket cap: 3000 identical sketches stay bounded without
+    // the pre-pass (4 bands × C(10,2) candidate pairs at cap 10)
+    val flood = (0L until 3000L).map(i => (i, base)).toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDups(flood, maxDistance = 3,
+      exactPrepass = false, bucketCap = 10)
+    assert(capped.count() == 45L)
   }
 
   test("brute cosine topk: identical vector ranks first") {

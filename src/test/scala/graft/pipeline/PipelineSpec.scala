@@ -111,6 +111,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(result.select("url").distinct().count() == 200)
   }
 
+  test("extraction plan has exactly ONE exchange (the salted repartition)") {
+    val plan = ExtractPipeline.extract(
+      ExtractPipeline.pages(spark, 50, 2), 4).toDF()
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle exchange, plan:\n$plan")
+  }
+
   test("lineage rows carry metrics columns") {
     val base = tmp()
     val pages = ExtractPipeline.pages(spark, 100, 2)
