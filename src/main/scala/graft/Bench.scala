@@ -183,7 +183,7 @@ object Bench {
     // multi-second episodes (steal spikes); alternating samples + best-of
     // approximates the unthrottled rate at each level. At least 2 rounds,
     // then as many more as fit in the budget.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "240").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "250").toInt
     var minFull4N = Double.MaxValue
     var minHalf4N = Double.MaxValue
     var minFullN = Double.MaxValue
