@@ -62,7 +62,9 @@ object IvfIndex {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()
   }
 
-  private def cosineDist(a: Seq[Float], b: Array[Float]): Double = {
+  // primitive-array kernels: a Seq[Float] parameter boxes every element
+  // access through the generic apply — callers convert ONCE per row
+  private def cosineDist(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -73,7 +75,10 @@ object IvfIndex {
     if (na == 0 || nb == 0) 1.0 else 1.0 - dot / math.sqrt(na * nb)
   }
 
-  def nearestCell(centroids: Array[Array[Float]], v: Seq[Float]): Int = {
+  def nearestCell(centroids: Array[Array[Float]], v: Seq[Float]): Int =
+    nearestCellArr(centroids, toFloatArray(v))
+
+  def nearestCellArr(centroids: Array[Array[Float]], v: Array[Float]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
@@ -85,12 +90,23 @@ object IvfIndex {
     best
   }
 
+  private def toFloatArray(v: Seq[Float]): Array[Float] = v match {
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case other =>
+      val out = new Array[Float](other.length)
+      var i = 0
+      val it = other.iterator
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+  }
+
   /** The `nprobe` nearest cells for a query vector (ascending distance,
     * deterministic tie-break on cell id). */
   def nearestCells(centroids: Array[Array[Float]], v: Seq[Float],
       nprobe: Int): Array[Int] = {
+    val arr = toFloatArray(v)
     val dists = Array.tabulate(centroids.length)(c =>
-      (cosineDist(v, centroids(c)), c))
+      (cosineDist(arr, centroids(c)), c))
     dists.sortBy(identity).take(math.min(nprobe, centroids.length)).map(_._2)
   }
 
