@@ -168,10 +168,25 @@ object Similarity {
 }
 
 object SimilarityKernel {
+  /** One primitive copy per row — Seq[Float].apply boxes through the
+    * generic dispatch; zero-copy when the encoder hands an
+    * immutable.ArraySeq.ofFloat. */
+  private def toFloatArray(v: Seq[Float]): Array[Float] = v match {
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case other =>
+      val out = new Array[Float](other.length)
+      var i = 0
+      val it = other.iterator
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+  }
+
   /** Left-to-right double-precision cosine — the exact fold the DuckDB
     * oracle computes (list_inner_product over DOUBLE[]). */
-  def cosineDouble(a: Seq[Float], b: Seq[Float]): Double = {
-    if (a == null || b == null) return 0.0
+  def cosineDouble(av: Seq[Float], bv: Seq[Float]): Double = {
+    if (av == null || bv == null) return 0.0
+    val a = toFloatArray(av)
+    val b = toFloatArray(bv)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     val n = math.min(a.length, b.length)
     var i = 0
@@ -192,13 +207,14 @@ object SimilarityKernel {
     * sign(dot(v, h_{t,j})), h a seeded Rademacher (±1) hyperplane —
     * h[d] from a mixed hash of (t, j, d). The table id is packed into
     * the high bits so signatures from different tables never collide. */
-  def signBuckets(emb: Seq[Float], bits: Int, tables: Int): Array[Long] = {
+  def signBuckets(embSeq: Seq[Float], bits: Int, tables: Int): Array[Long] = {
     val out = new Array[Long](tables)
-    if (emb == null || emb.isEmpty) {
+    if (embSeq == null || embSeq.isEmpty) {
       var t = 0
       while (t < tables) { out(t) = t.toLong << 32; t += 1 }
       return out
     }
+    val emb = toFloatArray(embSeq)
     var t = 0
     while (t < tables) {
       var bucket = 0L
