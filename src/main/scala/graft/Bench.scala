@@ -126,21 +126,30 @@ object Bench {
         if (per.isEmpty) 0.0 else per.sum / per.size
       }
       val centroids = graft.ops.IvfIndex.train(emb)
-      // two operating points each: the cheap default and a high-recall
-      // configuration — recall is a knob against candidate count, and
-      // the driver's embeddings are near-orthogonal (the hardest case:
-      // ~99% of pairs below 0.3 cosine, so neighbors have almost no
-      // locality for ANY space-partitioning index; clustered corpora —
-      // OpsSpec — reach ≥0.9 at the cheap defaults)
+      // the SHIPPED defaults (what x_ann_ivf / x_ann_lsh actually run —
+      // recall-first: nprobe 16 × replicas 3, auto bits × 24 tables)
+      // plus round-2's cheap points for cross-round continuity. The
+      // driver's embeddings are near-orthogonal (~99% of pairs below
+      // 0.3 cosine) — the hardest case for space partitioning, which is
+      // exactly why the defaults moved to the high-recall points.
       Map(
-        "ivf_np4" -> recallOf(graft.ops.IvfIndex.topK(emb, centroids, 5)),
-        "ivf_np16" -> recallOf(
-          graft.ops.IvfIndex.topK(emb, centroids, 5, nprobe = 16)),
-        "lsh_b8t12" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5)),
-        "lsh_b4t24" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5,
-          signBits = 4, tables = 24)))
+        "ivf_np16" -> recallOf(graft.ops.IvfIndex.topK(emb, centroids, 5)),
+        "ivf_np4" -> recallOf(graft.ops.IvfIndex.topK(emb, centroids, 5,
+          nprobe = 4, replicas = 1)), // round-2 default, for comparison
+        "lsh_b4t24" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5)),
+        "lsh_b8t12" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5,
+          signBits = 8, tables = 12))) // round-2 default, for comparison
     } catch { case _: Throwable => Map.empty }
   }
+
+  /** Hot-cell drop accounting at the shipped IVF operating point —
+    * two-level splitting should keep this at 0; reported every round so
+    * silent truncation can never read as full coverage. */
+  private def ivfDrops(spark: SparkSession, sfDir: String): Long =
+    try {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      graft.ops.IvfIndex.cellDrops(emb, graft.ops.IvfIndex.train(emb))
+    } catch { case _: Throwable => -1L }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,6 +166,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     var results = Seq.empty[(String, Double)]
     var recalls = Map.empty[String, Double]
+    var drops = -1L
     if (mode != "extract") {
       ordered.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -167,6 +177,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
       recalls = annRecalls(spark, sfDir)
+      drops = ivfDrops(spark, sfDir)
     }
     spark.stop()
 
@@ -181,49 +192,62 @@ object Bench {
     }
     // Time-budgeted interleaved best-of: this shared VM throttles in
     // multi-second episodes (steal spikes); alternating samples + best-of
-    // approximates the unthrottled rate at each level. At least 2 rounds,
-    // then as many more as fit in the budget.
+    // approximates the unthrottled rate at each level. At least 3 rounds
+    // (so min AND median are both meaningful — one steal episode can't
+    // set the headline), then as many more as fit in the budget.
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "250").toInt
     var minFull4N = Double.MaxValue
     var minHalf4N = Double.MaxValue
     var minFullN = Double.MaxValue
     var minHalfN = Double.MaxValue
+    val roundRatesN = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val roundRates4N = scala.collection.mutable.ArrayBuffer.empty[Double]
     var bestPeak = (Double.MaxValue, 0L, 0L)
     val budget0 = System.nanoTime()
+
+    // per-round steady-state rate by min-subtraction (fixed per-job cost
+    // cancels); falls back to the raw full-run rate if the difference
+    // degenerates
+    def steadyRate(full: Double, half: Double): Double = {
+      val dt = full - half
+      if (dt > 0.05 * full) (nPages - nPages / 2) / dt
+      else nPages / full
+    }
+
     var round = 0
-    while (round < 2 ||
+    while (round < 3 ||
         (System.nanoTime() - budget0) / 1e9 < budgetSec && round < 8) {
-      // the N run has the LONGEST wall window → most likely to absorb a
-      // steal episode → sample it as often as the fast levels, alternating
-      // so no level is systematically paired with a bad epoch
-      var k = 0
-      while (k < 2) {
-        val (af, ah) = timeExtractionPair(cores4N, nPages)
-        if (af < minFull4N) minFull4N = af
-        if (ah < minHalf4N) minHalf4N = ah
-        val (bf, bh) = timeExtractionPair(nCores, nPages)
-        if (bf < minFullN) minFullN = bf
-        if (bh < minHalfN) minHalfN = bh
-        k += 1
-      }
+      // alternate levels within the round so no level is systematically
+      // paired with a bad epoch
+      val (af, ah) = timeExtractionPair(cores4N, nPages)
+      if (af < minFull4N) minFull4N = af
+      if (ah < minHalf4N) minHalf4N = ah
+      roundRates4N += steadyRate(af, ah)
+      val (bf, bh) = timeExtractionPair(nCores, nPages)
+      if (bf < minFullN) minFullN = bf
+      if (bh < minHalfN) minHalfN = bh
+      roundRatesN += steadyRate(bf, bh)
       val c = timeExtraction(cpus, nPages)
       if (c._1 < bestPeak._1) bestPeak = c
       round += 1
     }
     val (secPeak, docsPeak, bytesPeak) = bestPeak
 
-    // steady-state rates by min-subtraction (fixed per-job cost cancels);
-    // fall back to the raw full-run rate if the difference degenerates
-    def steadyRate(minFull: Double, minHalf: Double): Double = {
-      val dt = minFull - minHalf
-      if (dt > 0.05 * minFull) (nPages - nPages / 2) / dt
-      else nPages / minFull
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    val rateN = steadyRate(minFullN, minHalfN)
+
+    val rateN = steadyRate(minFullN, minHalfN) // best-of minima (headline)
     val rate4N = steadyRate(minFull4N, minHalf4N)
+    val rateNMed = median(roundRatesN.toSeq)
+    val rate4NMed = median(roundRates4N.toSeq)
     val ratePeak = docsPeak / secPeak
     val gbPeak = bytesPeak / 1e9 / secPeak
     val efficiency = rate4N / (4.0 * rateN)
+    val efficiencyMed = rate4NMed / (4.0 * math.max(rateNMed, 1e-9))
     val ceiling = aluCeiling(nCores, cores4N)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -233,27 +257,36 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"machine_alu_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"ivf_cell_drops":$drops,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
 
     writeBenchBaseline(sfDir, total, results, nPages, nCores, cores4N, cpus,
-      rateN, rate4N, ratePeak, gbPeak, efficiency, ceiling, recalls)
+      rateN, rate4N, ratePeak, gbPeak, efficiency, ceiling, recalls,
+      round, rateNMed, rate4NMed, efficiencyMed, drops)
   }
 
   private def writeBenchBaseline(
       sfDir: String, total: Double, results: Seq[(String, Double)],
       nPages: Long, nCores: Int, cores4N: Int, peakCores: Int,
       rateN: Double, rate4N: Double, ratePeak: Double, gb: Double,
-      eff: Double, ceiling: Double, recalls: Map[String, Double]): Unit = {
+      eff: Double, ceiling: Double, recalls: Map[String, Double],
+      rounds: Int, rateNMed: Double, rate4NMed: Double,
+      effMed: Double, drops: Long): Unit = {
     val md = new StringBuilder
     md ++= "# BENCH — measured throughput (this sandbox)\n\n"
+    md ++= "Generated by `graft.Bench` from the same run that produced the "
+    md ++= "driver's BENCH json — numbers here are written by the harness, "
+    md ++= "never hand-copied.\n\n"
     md ++= s"Input: deterministic synthetic pages corpus ($nPages docs, "
     md ++= "FIXTURES.md mix incl. PDFs + malformed) and the driver tables at "
     md ++= s"`$sfDir`.\n\n"
     md ++= "## Extraction pipeline scaling (same job, same input)\n\n"
-    md ++= "| cores | docs/sec (steady-state) |\n|---|---|\n"
-    md ++= f"| local[$nCores] (N) | $rateN%.1f |\n"
-    md ++= f"| local[$cores4N] (4N) | $rate4N%.1f |\n"
-    md ++= f"| local[$peakCores] (full box) | $ratePeak%.1f ($gb%.4f GB/s html) |\n\n"
+    md ++= s"$rounds interleaved rounds per level (best-of minima = "
+    md ++= "headline, median alongside — one steal episode on this shared "
+    md ++= "VM can't set either number).\n\n"
+    md ++= "| cores | docs/sec (best) | docs/sec (median) |\n|---|---|---|\n"
+    md ++= f"| local[$nCores] (N) | $rateN%.1f | $rateNMed%.1f |\n"
+    md ++= f"| local[$cores4N] (4N) | $rate4N%.1f | $rate4NMed%.1f |\n"
+    md ++= f"| local[$peakCores] (full box) | $ratePeak%.1f ($gb%.4f GB/s html) | — |\n\n"
     md ++= "Steady-state rates use min-subtraction: each level times the "
     md ++= "job at full and half input (interleaved best-of minima), rate = "
     md ++= "(D − D/2) / (t_full − t_half). This cancels the ~0.3 s fixed "
@@ -262,8 +295,9 @@ object Bench {
     md ++= "the short 4N window pays it 4× as densely — on a real cluster "
     md ++= "the equivalent is measuring throughput after ramp-up. Raw "
     md ++= "best-of full-run wall times are what the peak row reports.\n\n"
-    md ++= f"**Scaling efficiency N→4N: $eff%.3f** (target ≥ 0.8); "
-    md ++= f"**normalized to the machine's own ALU ceiling: ${eff / math.max(ceiling, 0.01)}%.3f**.\n\n"
+    md ++= f"**Scaling efficiency N→4N: $eff%.3f** (median-based: $effMed%.3f; "
+    md ++= f"target ≥ 0.8); **normalized to the machine's own ALU ceiling: "
+    md ++= f"${eff / math.max(ceiling, 0.01)}%.3f**.\n\n"
     md ++= f"Machine calibration: a pure-ALU no-allocation thread loop scales "
     md ++= f"at $ceiling%.3f over the same N→4N on this shared VM (CPU steal "
     md ++= "5–13%% under load + turbo droop) — the engine's efficiency should "
@@ -275,14 +309,17 @@ object Bench {
       recalls.toSeq.sorted.foreach { case (k, v) =>
         md ++= f"| $k | $v%.3f |\n"
       }
-      md ++= "\nRecall is a knob against candidate count (nprobe for IVF, "
-      md ++= "bits/tables for LSH). The driver's embeddings are "
-      md ++= "near-orthogonal (~99% of pairs under 0.3 cosine) — the "
-      md ++= "hardest case for any space-partitioning index, so the cheap "
-      md ++= "defaults sit low here; on corpora with cluster structure "
-      md ++= "(OpsSpec's recall gates) the same defaults reach ≥0.9. The "
-      md ++= "high-recall points (np16 / b4t24) show the knob works on "
-      md ++= "this data too.\n\n"
+      md ++= "\n`ivf_np16` (nprobe 16 × 3 replicas) and `lsh_b4t24` "
+      md ++= "(auto bits × 24 tables) are the SHIPPED defaults — what "
+      md ++= "`x_ann_ivf`/`x_ann_lsh` actually run; `ivf_np4`/`lsh_b8t12` "
+      md ++= "are round-2's cheap points, kept for cross-round comparison. "
+      md ++= "The driver's embeddings are near-orthogonal (~99% of pairs "
+      md ++= "under 0.3 cosine) — the hardest case for any "
+      md ++= "space-partitioning index, which is why the defaults moved "
+      md ++= "to the recall-first points.\n\n"
+      md ++= s"IVF hot-cell drops at the shipped operating point: $drops "
+      md ++= "(two-level sub-quantization splits hot cells instead of "
+      md ++= "dropping members).\n\n"
     }
     md ++= f"## Query timings (local[$peakCores], `$sfDir`)\n\n"
     md ++= "| query | sec |\n|---|---|\n"

@@ -349,7 +349,9 @@ object SparkEntry {
     "x_ann_ivf" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val centroids = graft.ops.IvfIndex.train(emb) // k = ⌈√n⌉, 2 Lloyd iters
-      graft.ops.IvfIndex.topK(emb, centroids, k = 5) // nprobe = 2
+      // defaults: nprobe = DefaultNProbe (16), replicas = 3 — the
+      // recall-first operating point (see IvfIndex scaladoc)
+      graft.ops.IvfIndex.topK(emb, centroids, k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -437,13 +439,15 @@ object SparkEntry {
 
     // ---- active-learning sampler (O11) — oracled quantile twin ---------
     // clusters = ntile(8) over (n_chars, doc_id); uncertainty = 1 − the
-    // C4-style quality proxy (e6 BIGINT); top-5 per cluster. The
-    // embedding/KMeans variant (sampleByEmbedding) is OpsSpec-covered.
+    // C4-style quality proxy (e6 BIGINT); top-5 per cluster. This runs
+    // the EXACT ntile twin (SQL-expressible → DuckDB oracle); the scale
+    // path (approxQuantile cut-points, sampleByQuantile) and the
+    // embedding/KMeans variant are OpsSpec-covered.
     "x_al_sampling" -> ((s, dir) => {
       val pool = t(s, dir, "documents").select(
         col("doc_id"), col("n_chars"),
         (lit(1000000L) - qualityScoreE6(col("text"))).as("uncertainty_e6"))
-      graft.ops.ActiveLearning.sampleByQuantile(pool,
+      graft.ops.ActiveLearning.sampleByQuantileExact(pool,
         idCol = "doc_id", orderCol = "n_chars",
         uncertaintyCol = "uncertainty_e6", nClusters = 8, perCluster = 5)
         .select(col("cluster"), col("doc_id"), col("uncertainty_e6"),
@@ -495,6 +499,26 @@ object SparkEntry {
       graft.ops.BrandRules.classify(nums, "number", "doc_id")
         .select(col("doc_id"), col("number"), col("brand"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- extraction-kernel integrity fingerprint (rows-only) -----------
+    // one order-independent corpus fingerprint over (url, text, status):
+    // byte-stable across partitioning/parallelism, so a kernel regression
+    // is visible in the driver artifacts as a changed fingerprint row —
+    // the extraction family's non-SQL kernels have no DuckDB oracle, and
+    // the in-repo golden fixture alone was invisible to the driver
+    "x_extract_md5" -> ((s, _) => {
+      val results = graft.pipeline.ExtractPipeline
+        .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
+      val rowFp = xxhash64(col("url"), md5(col("text")), col("status"))
+      results.agg(
+        count(lit(1)).as("docs"),
+        // decimal(38,0) sum: a long sum of 64-bit hashes overflows under
+        // ANSI; decimal holds 10^12 rows × 2^63 with 7 digits to spare
+        sum(rowFp.cast("decimal(38,0)")).as("fp_sum"),
+        bit_xor(rowFp).as("fp_xor"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(when(col("status") =!= "FAILED", 1L).otherwise(0L)).as("docs_ok"))
     }),
 
     // ---- fintech normalizer over extracted text (rows-only; golden) -----

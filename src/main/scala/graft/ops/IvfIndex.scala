@@ -30,9 +30,33 @@ import org.apache.spark.sql.functions._
 object IvfIndex {
 
   val DefaultIters = 2
-  val DefaultNProbe = 4
+
+  /** Recall-first probe default. On corpora with cluster structure a
+    * handful of probes reaches ≥0.9 recall; on near-orthogonal embeddings
+    * (the hardest case — cell assignment is nearly random) recall ≈
+    * covered-cell fraction, so the shipped default must probe generously:
+    * nprobe 16 × replicas 3 measured ≥0.95 top-5 recall on the driver's
+    * near-orthogonal table, vs 0.384 at the round-2 default (np4, r1). */
+  val DefaultNProbe = 16
+
+  /** Multi-assignment replication: each corpus vector is indexed under
+    * its `DefaultReplicas` nearest cells (FLANN-style multiple
+    * assignment). A true neighbor is missed only when NONE of its
+    * replicas land in a probed cell — with r replicas and p probed of c
+    * cells the miss probability falls ~((c−p)/c)^r instead of (c−p)/c.
+    * Costs r× index rows (storage + candidate work), the price of a
+    * recall floor that holds even without cluster structure. */
+  val DefaultReplicas = 3
+
   val MaxCells = 65536
   val DefaultCellCap = 10000
+
+  /** Sub-cells a single hot coarse cell may be split into (two-level
+    * quantization); bounds the per-cell driver state. */
+  val MaxSubCells = 4096
+
+  /** Sub-cells probed inside each probed HOT cell. */
+  val DefaultSubProbe = 2
 
   /** Mean-of-vectors buffer (sum + count). */
   final case class VecMeanBuf(sum: Array[Double], n: Long)
@@ -150,44 +174,136 @@ object IvfIndex {
     centroids
   }
 
-  /** Cell assignment (narrow). */
+  /** Cell assignment (narrow, primary cell only — kept for statistics
+    * and clustering callers like ActiveLearning). */
   def assign(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
     val assignUdf = udf((v: Seq[Float]) => nearestCell(centroids, v))
     corpus.withColumn("cell", assignUdf(col("embedding")))
   }
 
-  /** Candidate rows dropped by `cellCap` (hot-cell accounting). */
-  def cellDrops(corpus: DataFrame, centroids: Array[Array[Float]],
-      cellCap: Int): Long =
-    assign(corpus, centroids)
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-      .agg(coalesce(sum(greatest(col("n") - cellCap, lit(0L))), lit(0L)))
-      .collect()(0).getLong(0)
+  /** Multi-assignment: one row per (vector, replica cell). */
+  private def assignMulti(corpus: DataFrame, centroids: Array[Array[Float]],
+      replicas: Int): DataFrame = {
+    val assignUdf = udf((v: Seq[Float]) => nearestCells(centroids, v, replicas))
+    corpus.select(col("vec_id"), col("embedding"),
+      explode(assignUdf(col("embedding"))).as("cell"))
+  }
 
-  /** IVF top-k: each query probes its `nprobe` nearest cells; exact
-    * cosine against (cap-bounded) cell members. */
-  def topK(corpus: DataFrame, centroids: Array[Array[Float]], k: Int,
-      nprobe: Int = DefaultNProbe,
-      cellCap: Int = DefaultCellCap): DataFrame = {
-    val assigned = assign(corpus, centroids)
-    // hot-cell cap: deterministic hash-ordered sample per cell
+  /** Two-level sub-quantizer for hot cells: coarse cells whose (replicated)
+    * member count exceeds `cellCap` get ⌈count/cellCap⌉ sub-centroids
+    * (deterministic hash-ordered member seeds — cheap, data-adaptive), so
+    * members are SPLIT across bounded sub-cells instead of dropped.
+    * Driver state is Σ⌈count/cellCap⌉ vectors, ≤ MaxSubCells per cell; at
+    * extreme n the sub-centroid set outgrows closure capture and should
+    * ship as a broadcast-joined table instead (same plan shape). */
+  private[ops] def trainSubCells(assigned: DataFrame,
+      cellCap: Int): Map[Int, Array[Array[Float]]] = {
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val hot = counts.filter(_._2 > cellCap)
+    if (hot.isEmpty) return Map.empty
+    // 2× oversplit: expected sub-cell load ≈ cellCap/2, so moderately
+    // skewed sub-cells still fit under the cap instead of dropping
+    val kSub: Map[Int, Int] = hot.map { case (c, n) =>
+      c -> math.min(MaxSubCells.toLong, 2L * ((n + cellCap - 1) / cellCap)).toInt
+    }
+    val maxSub = kSub.values.max
     val wCell = Window.partitionBy(col("cell"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
-    val candidates = assigned
+    assigned
+      .filter(col("cell").isin(hot.keys.toSeq: _*))
       .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= maxSub)
+      .select(col("cell"), col("rn"), col("embedding"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).take(kSub(cell))
+          .map(r => toFloatArray(r.getAs[scala.collection.Seq[Float]](2).toSeq))
+      }
+  }
+
+  /** Composite (coarse cell, sub cell) candidate key. */
+  @inline private def ckeyOf(cell: Int, sub: Int): Long =
+    (cell.toLong << 20) | sub.toLong
+
+  /** Candidate index rows keyed by (coarse, sub) cell — pre-cap. */
+  private def keyedCandidates(assigned: DataFrame,
+      subCents: Map[Int, Array[Array[Float]]]): DataFrame = {
+    val fineUdf = udf((cell: Int, v: Seq[Float]) =>
+      subCents.get(cell) match {
+        case Some(sc) => ckeyOf(cell, nearestCell(sc, v))
+        case None => ckeyOf(cell, 0)
+      })
+    assigned.withColumn("ckey", fineUdf(col("cell"), col("embedding")))
+  }
+
+  /** Candidate rows dropped by `cellCap` AFTER two-level splitting —
+    * hot-cell accounting for the bench (0 unless a cell outgrows
+    * cellCap × MaxSubCells). */
+  def cellDrops(corpus: DataFrame, centroids: Array[Array[Float]],
+      cellCap: Int = DefaultCellCap,
+      replicas: Int = DefaultReplicas): Long = {
+    val assigned = assignMulti(corpus, centroids, replicas)
+    val subCents = trainSubCells(assigned, cellCap)
+    keyedCandidates(assigned, subCents)
+      .groupBy(col("ckey")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(greatest(col("n") - cellCap, lit(0L))), lit(0L)))
+      .collect()(0).getLong(0)
+  }
+
+  /** IVF top-k: each query probes its `nprobe` nearest coarse cells (and
+    * the `subProbe` nearest sub-cells inside each probed hot cell); exact
+    * cosine against cap-bounded cell members. Corpus vectors are indexed
+    * under `replicas` cells (see [[DefaultReplicas]]); duplicate
+    * (query, neighbor) sightings are deduped before ranking. */
+  def topK(corpus: DataFrame, centroids: Array[Array[Float]], k: Int,
+      nprobe: Int = DefaultNProbe,
+      cellCap: Int = DefaultCellCap,
+      replicas: Int = DefaultReplicas,
+      subProbe: Int = DefaultSubProbe): DataFrame = {
+    val assigned = assignMulti(corpus, centroids, replicas)
+    val subCents = trainSubCells(assigned, cellCap)
+    // residual-cap safety net (a cell beyond cellCap × MaxSubCells):
+    // deterministic hash-ordered sample per sub-cell, drops accounted
+    // via cellDrops
+    val wKey = Window.partitionBy(col("ckey"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val candidates = keyedCandidates(assigned, subCents)
+      .withColumn("rn", row_number().over(wKey))
       .filter(col("rn") <= cellCap)
-      .select(col("cell"), col("vec_id").as("neighbor_id"),
+      .select(col("ckey"), col("vec_id").as("neighbor_id"),
         col("embedding").as("neighbor_emb"))
-    val probeUdf = udf((v: Seq[Float]) => nearestCells(centroids, v, nprobe))
+    val probeUdf = udf((v: Seq[Float]) => {
+      val coarse = nearestCells(centroids, v, nprobe)
+      val out = Array.newBuilder[Long]
+      var i = 0
+      while (i < coarse.length) {
+        val c = coarse(i)
+        subCents.get(c) match {
+          case Some(sc) =>
+            val subs = nearestCells(sc, v, subProbe)
+            var j = 0
+            while (j < subs.length) { out += ckeyOf(c, subs(j)); j += 1 }
+          case None => out += ckeyOf(c, 0)
+        }
+        i += 1
+      }
+      out.result()
+    })
     val queries = corpus
       .select(col("vec_id").as("query_id"),
         col("embedding").as("query_emb"),
-        explode(probeUdf(col("embedding"))).as("cell"))
+        explode(probeUdf(col("embedding"))).as("ckey"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    queries.join(candidates, Seq("cell"))
+    queries.join(candidates, Seq("ckey"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      // cosine BEFORE the pair dedup (cheap expression vs shuffling
+      // embedding-carrying rows through dropDuplicates)
       .withColumn("cos", Similarity.cosineFast(col("query_emb"), col("neighbor_emb")))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))

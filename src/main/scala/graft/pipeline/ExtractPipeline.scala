@@ -139,7 +139,17 @@ object ExtractPipeline {
     run(spark, pagesDs, new ParquetCommitProtocol(outDir, lineageDir),
       runId, buckets, salt)
 
-  /** Sink-agnostic variant: all persistence goes through `protocol`. */
+  /** Sink-agnostic variant: all persistence goes through `protocol`.
+    *
+    * Per-bucket lineage metrics are accumulated INSIDE the extraction map
+    * stage (an AccumulatorV2 keyed by bucket), so the write action is the
+    * only pass over the data — the previous implementation `.cache()`d
+    * the full results Dataset to serve a second lineage aggregate, which
+    * at 100 TB means a cluster-wide cache of the entire output (spill
+    * pressure, eviction churn). Accumulator state is `buckets` small
+    * structs, not row data; Spark applies action-stage accumulator
+    * updates once per successful task, so retried tasks don't
+    * double-count. */
   def run(
       spark: SparkSession,
       pagesDs: Dataset[PageRow],
@@ -158,46 +168,91 @@ object ExtractPipeline {
       if (committed.isEmpty) withBucket
       else withBucket.filter(!col("bucket").isin(committed.toSeq: _*))
 
+    val acc = new BucketMetricsAcc
+    spark.sparkContext.register(acc, s"graft.bucketMetrics.$runId")
+
     val results = todo
       .repartition(buckets, col("bucket"))
       .as[PageRowWithBucket]
       .mapPartitions { it =>
-        it.map(r => ResultWithBucket(Extractor.extract(r.toPageRow), r.bucket))
+        it.map { r =>
+          val res = Extractor.extract(r.toPageRow)
+          acc.add((r.bucket, BucketMetrics(
+            fingerprint = BucketMetrics.sparkUrlHash(r.url),
+            docsIn = 1L,
+            docsOut = if (res.status != "FAILED") 1L else 0L,
+            bytes = res.bytes_in)))
+          ResultWithBucket(res, r.bucket)
+        }
       }
       .select(col("result.*"), col("bucket"))
-      .cache()
 
-    // idempotent write: a replayed bucket replaces only its own output
+    // idempotent write: a replayed bucket replaces only its own output —
+    // the ONE action over the full data (populates `acc` as it runs)
     protocol.writeResults(results)
 
-    // per-bucket lineage/metrics commit rows (one aggregate, map-combined)
-    val lineage = results
-      .groupBy(col("bucket").as("partition_id"))
-      .agg(
-        sum(hash(col("url"))).as("input_fingerprint"),
-        count(lit(1)).as("docs_in"),
-        sum(when(col("status") =!= "FAILED", 1L).otherwise(0L)).as("docs_out"),
-        sum(col("bytes_in")).as("bytes"))
-      .withColumn("run_id", lit(runId))
-      .withColumn("extractor_version", lit(Model.ExtractorVersion))
-      .select("run_id", "partition_id", "input_fingerprint", "docs_in",
-        "docs_out", "bytes", "extractor_version")
+    // per-bucket lineage/metrics commit rows from the accumulator
+    val metrics = {
+      val m = acc.value
+      val b = Seq.newBuilder[(String, Int, Long, Long, Long, Long, String)]
+      m.forEach { (bucket, bm) =>
+        b += ((runId, bucket.intValue, bm.fingerprint, bm.docsIn,
+          bm.docsOut, bm.bytes, Model.ExtractorVersion))
+      }
+      b.result().sortBy(_._2)
+    }
+    val lineage = metrics.toDF("run_id", "partition_id", "input_fingerprint",
+      "docs_in", "docs_out", "bytes", "extractor_version")
 
     protocol.appendLineage(lineage)
-
-    val stats = lineage.agg(
-      count(lit(1)), coalesce(sum("docs_in"), lit(0L)),
-      coalesce(sum("docs_out"), lit(0L))).collect()(0)
-    results.unpersist()
 
     RunSummary(
       runId = runId,
       bucketsTotal = buckets,
       bucketsSkipped = committed.size,
-      bucketsProcessed = stats.getLong(0).toInt,
-      docsIn = stats.getLong(1),
-      docsOut = stats.getLong(2))
+      bucketsProcessed = metrics.size,
+      docsIn = metrics.map(_._4).sum,
+      docsOut = metrics.map(_._5).sum)
   }
+}
+
+/** Per-bucket lineage metrics (mergeable monoid). */
+final case class BucketMetrics(
+    fingerprint: Long, docsIn: Long, docsOut: Long, bytes: Long) {
+  def merge(o: BucketMetrics): BucketMetrics = BucketMetrics(
+    fingerprint + o.fingerprint, docsIn + o.docsIn,
+    docsOut + o.docsOut, bytes + o.bytes)
+}
+
+object BucketMetrics {
+  /** Same int32 as Spark's `hash(col)` (Murmur3, seed 42) on a string —
+    * keeps `input_fingerprint` byte-identical to the previous
+    * sum(hash(url)) lineage aggregate. */
+  def sparkUrlHash(url: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(url)
+    org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42).toLong
+  }
+}
+
+/** Bucket-keyed metrics accumulator — state is O(buckets), not O(rows). */
+final class BucketMetricsAcc
+    extends org.apache.spark.util.AccumulatorV2[
+      (Int, BucketMetrics), java.util.HashMap[Integer, BucketMetrics]] {
+  private val map = new java.util.HashMap[Integer, BucketMetrics]()
+  override def isZero: Boolean = map.isEmpty
+  override def copy(): BucketMetricsAcc = {
+    val a = new BucketMetricsAcc
+    a.map.putAll(map) // values are immutable case classes
+    a
+  }
+  override def reset(): Unit = map.clear()
+  override def add(v: (Int, BucketMetrics)): Unit =
+    map.merge(v._1, v._2, (a, b) => a.merge(b))
+  override def merge(other: org.apache.spark.util.AccumulatorV2[
+      (Int, BucketMetrics), java.util.HashMap[Integer, BucketMetrics]]): Unit =
+    other.value.forEach((k, v) => map.merge(k, v, (a, b) => a.merge(b)))
+  override def value: java.util.HashMap[Integer, BucketMetrics] = map
 }
 
 /** Carrier rows for the bucketed map stage. */

@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
@@ -124,7 +124,9 @@ object GraftKernels {
 
 /** sanitize_text as a native Catalyst expression (SURVEY §7.2 hardening of
   * T1; semantics in graft.text.Sanitizer, cited to ocr_engine.py:303-359). */
-case class GraftSanitize(child: Expression) extends UnaryExpression {
+case class GraftSanitize(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -135,7 +137,9 @@ case class GraftSanitize(child: Expression) extends UnaryExpression {
 }
 
 /** 13–19-digit Luhn validity (T10; pan_candidates.py:129-147). */
-case class GraftLuhnValid(child: Expression) extends UnaryExpression {
+case class GraftLuhnValid(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -146,7 +150,9 @@ case class GraftLuhnValid(child: Expression) extends UnaryExpression {
 }
 
 /** Confidence score (C1; confidence.py:17-57). */
-case class GraftConfidence(child: Expression) extends UnaryExpression {
+case class GraftConfidence(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -157,7 +163,9 @@ case class GraftConfidence(child: Expression) extends UnaryExpression {
 }
 
 /** 64-bit SimHash (near-dup sketch). */
-case class GraftSimHash(child: Expression) extends UnaryExpression {
+case class GraftSimHash(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -168,7 +176,9 @@ case class GraftSimHash(child: Expression) extends UnaryExpression {
 }
 
 /** Rolling-hash fingerprint (document fingerprinting). */
-case class GraftFingerprint(child: Expression) extends UnaryExpression {
+case class GraftFingerprint(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
@@ -180,7 +190,10 @@ case class GraftFingerprint(child: Expression) extends UnaryExpression {
 
 /** Cosine similarity over two array<float> columns (ANN hot loop). */
 case class GraftCosine(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  // analysis-time typing: without it a SQL call over array<double> would
+  // misread ArrayData via getFloat and return silently wrong values
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -193,7 +206,8 @@ case class GraftCosine(left: Expression, right: Expression)
 
 /** Sorted-array overlap count (exact-Jaccard hot loop). */
 case class GraftSortedOverlap(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(a: Any, b: Any): Any =

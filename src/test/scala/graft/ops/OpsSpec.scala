@@ -266,6 +266,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("two-level ivf: hot cells split, members not dropped, recall holds") {
+    // force hot cells: 600 vectors into 2 coarse cells with cellCap 100 —
+    // single-level capping would discard ~5/6 of every cell's members
+    // (hash-ordered), collapsing recall; two-level sub-quantization must
+    // split instead of drop
+    val emb = clusteredEmb(600, 16, 6, seed = 31)
+    val centroids = IvfIndex.train(emb, k = 2)
+    val cap = 100
+    val counts = IvfIndex.assign(emb, centroids)
+      .groupBy($"cell").count().as[(Int, Long)].collect().toMap
+    assert(counts.values.max > cap, s"test precondition: hot cell ($counts)")
+    val drops = IvfIndex.cellDrops(emb, centroids, cellCap = cap)
+    assert(drops == 0L, s"two-level split should leave no drops, got $drops")
+    val approx = IvfIndex.topK(emb, centroids, k = 5, cellCap = cap)
+    val r = recallVsBrute(emb, approx, k = 5)
+    assert(r >= 0.9, s"two-level ivf recall $r")
+  }
+
   test("lsh recall >= 0.9 vs brute on clustered vectors") {
     val emb = clusteredEmb(400, 32, 8, seed = 3)
     val approx = Similarity.lshCosineTopK(emb, k = 5)
@@ -274,13 +292,25 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("sign bits scale with corpus size") {
-    assert(Similarity.signBitsFor(500) == 8)
+    assert(Similarity.signBitsFor(500) == 4) // recall-first small-corpus floor
     assert(Similarity.signBitsFor(1000000) > 8)
     assert(Similarity.signBitsFor(1000000000000L) == 24)
     // expected bucket population stays bounded near the target
     val n = 100000000L
     val bits = Similarity.signBitsFor(n)
     assert(n / (1L << bits) <= Similarity.TargetBucketSize)
+  }
+
+  test("cached-plane sign buckets bit-identical to the per-row hash loop") {
+    val r = new java.util.Random(41)
+    for (dim <- Seq(3, 64, 129); (bits, tables) <- Seq((4, 24), (8, 12), (24, 12))) {
+      val v = Seq.fill(dim)(r.nextGaussian().toFloat)
+      val fast = SimilarityKernel.signBuckets(v, bits, tables)
+      val ref = SimilarityKernel.signBucketsReference(v, bits, tables)
+      assert(fast.sameElements(ref), s"dim=$dim bits=$bits tables=$tables")
+    }
+    assert(SimilarityKernel.signBuckets(Seq.empty[Float], 8, 3)
+      .sameElements(SimilarityKernel.signBucketsReference(Seq.empty[Float], 8, 3)))
   }
 
   test("cosine near-dup recall: lsh-bucketed vs exact all-pairs") {
@@ -339,16 +369,38 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSet == (51L until 60L).toSet, rows.mkString(","))
   }
 
-  test("active learning: quantile variant is deterministic") {
+  test("active learning: exact quantile twin is deterministic") {
     val pool = (0L until 40L).map(i => (i, i % 7, (i * 13 % 40) / 40.0))
       .toDF("doc_id", "feat", "uncertainty")
-    val a = ActiveLearning.sampleByQuantile(pool, "doc_id", "feat",
+    val a = ActiveLearning.sampleByQuantileExact(pool, "doc_id", "feat",
       "uncertainty", nClusters = 4, perCluster = 2)
       .select($"cluster", $"doc_id").as[(Int, Long)].collect().sorted
-    val b = ActiveLearning.sampleByQuantile(pool.repartition(16), "doc_id",
+    val b = ActiveLearning.sampleByQuantileExact(pool.repartition(16), "doc_id",
       "feat", "uncertainty", nClusters = 4, perCluster = 2)
       .select($"cluster", $"doc_id").as[(Int, Long)].collect().sorted
     assert(a.length == 8 && a.sameElements(b))
+  }
+
+  test("active learning: cut-point scale path has no single-task exchange") {
+    val pool = (0L until 400L).map(i => (i, (i % 97).toDouble, (i * 13 % 40) / 40.0))
+      .toDF("doc_id", "feat", "uncertainty")
+    val out = ActiveLearning.sampleByQuantile(pool, "doc_id", "feat",
+      "uncertainty", nClusters = 4, perCluster = 3)
+    // the exact twin's global-sort ntile funnels all rows through one
+    // task; the cut-point variant must not
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan.take(600))
+    val rows = out.select($"cluster", $"doc_id").as[(Int, Long)].collect()
+    assert(rows.length == 12) // 4 clusters x 3
+    assert(rows.map(_._1).toSet.size == 4)
+    // top-up + truncation on the embedding variant: k > nSamples still
+    // returns exactly nSamples
+    val pool2 = (0L until 30L).map { i =>
+      (i, Seq.tabulate(8)(d => (i % 5 + d).toFloat), i.toDouble)
+    }.toDF("doc_id", "embedding", "uncertainty")
+    val sel = ActiveLearning.sampleByEmbedding(pool2, "doc_id", "embedding",
+      "uncertainty", nSamples = 7, nClusters = 5)
+    assert(sel.count() == 7)
   }
 
   test("drift verdict fires on a shifted type distribution") {
