@@ -136,7 +136,9 @@ object Bench {
         "ivf_np16" -> recallOf(graft.ops.IvfIndex.topK(emb, centroids, 5)),
         "ivf_np4" -> recallOf(graft.ops.IvfIndex.topK(emb, centroids, 5,
           nprobe = 4, replicas = 1)), // round-2 default, for comparison
-        "lsh_b4t24" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5)),
+        "lsh_default" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5)),
+        "lsh_b4t24" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5,
+          signBits = 4, tables = 24)),
         "lsh_b8t12" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5,
           signBits = 8, tables = 12))) // round-2 default, for comparison
     } catch { case _: Throwable => Map.empty }
@@ -309,10 +311,12 @@ object Bench {
       recalls.toSeq.sorted.foreach { case (k, v) =>
         md ++= f"| $k | $v%.3f |\n"
       }
-      md ++= "\n`ivf_np16` (nprobe 16 × 3 replicas) and `lsh_b4t24` "
-      md ++= "(auto bits × 24 tables) are the SHIPPED defaults — what "
-      md ++= "`x_ann_ivf`/`x_ann_lsh` actually run; `ivf_np4`/`lsh_b8t12` "
-      md ++= "are round-2's cheap points, kept for cross-round comparison. "
+      md ++= "\n`ivf_np16` (nprobe 16 × 3 replicas) and `lsh_default` "
+      md ++= "(corpus-derived bits × 24 tables) are the SHIPPED defaults — "
+      md ++= "what `x_ann_ivf`/`x_ann_lsh` actually run; "
+      md ++= "`ivf_np4`/`lsh_b8t12` are round-2's cheap points and "
+      md ++= "`lsh_b4t24` the fixed high-recall point, kept for "
+      md ++= "cross-round comparison. "
       md ++= "The driver's embeddings are near-orthogonal (~99% of pairs "
       md ++= "under 0.3 cosine) — the hardest case for any "
       md ++= "space-partitioning index, which is why the defaults moved "

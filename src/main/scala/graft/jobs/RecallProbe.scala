@@ -37,7 +37,9 @@ object RecallProbe {
       val r = recallOf(graft.ops.IvfIndex.topK(emb, centroids, 5, nprobe = np))
       println(f"[recall] ivf nprobe=$np%-3d recall=$r%.3f")
     }
-    for ((bits, tables) <- Seq((8, 12), (6, 12), (6, 24), (4, 24))) {
+    println(f"[recall] lsh auto-default recall=${recallOf(
+      graft.ops.Similarity.lshCosineTopK(emb, 5))}%.3f")
+    for ((bits, tables) <- Seq((8, 12), (5, 24), (5, 32), (4, 24))) {
       val r = recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5,
         signBits = bits, tables = tables))
       println(f"[recall] lsh bits=$bits tables=$tables%-3d recall=$r%.3f")
