@@ -49,6 +49,7 @@ object PdfParser {
     val cidDoc = objs.values.exists(o =>
       o.dict.contains("/Type0") || o.dict.contains("/Identity-H"))
     val toUni = if (cidDoc) parseToUnicode(objs) else Map.empty[Int, String]
+    val fonts = parseFontEncodings(objs)
     val pageContents = pageContentStreams(objs)
     val sources =
       if (pageContents.nonEmpty) pageContents
@@ -57,7 +58,7 @@ object PdfParser {
     var pageCount = 0
     sources.foreach { s =>
       if (pageCount < MaxPages) {
-        val runs = interpretContent(s, cidDoc, toUni)
+        val runs = interpretContent(s, cidDoc, toUni, fonts)
         if (runs.nonEmpty) {
           pageTexts += XYCut.layout(runs)
           pageCount += 1
@@ -77,14 +78,24 @@ object PdfParser {
   private val refPattern =
     java.util.regex.Pattern.compile("(\\d+)\\s+\\d+\\s+R\\b")
 
-  /** Indirect objects: number → (dict text, decoded stream payload). */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Indirect objects: number → (dict text, decoded stream payload).
+    *
+    * The scanner resumes AFTER each object's endstream/endobj, so byte
+    * sequences that happen to spell "N 0 obj" inside binary stream
+    * payloads can never create phantom objects (which used to overwrite
+    * real entries and corrupt page-tree order in compressed PDFs). The
+    * 10000-object guard is logged when it truncates — never a silent
+    * cap. */
   private[pdf] def parseObjects(bytes: Array[Byte]): Map[Int, PdfObj] = {
     if (bytes == null || bytes.length < 16) return Map.empty
     val doc = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     val out = Map.newBuilder[Int, PdfObj]
     val m = objHeader.matcher(doc)
     var guard = 0
-    while (m.find() && guard < 10000) {
+    var from = 0
+    while (from < doc.length && m.find(from) && guard < 10000) {
       guard += 1
       val num = m.group(1).toInt
       val bodyStart = m.end()
@@ -107,11 +118,23 @@ object PdfParser {
           out += num -> PdfObj(dict,
             Option(payload).map(p =>
               new String(p, java.nio.charset.StandardCharsets.ISO_8859_1)))
-        } else out += num -> PdfObj(dict, None)
+          // skip past the stream payload: its bytes must never be
+          // scanned for object headers
+          val eo = doc.indexOf("endobj", ei)
+          from = if (eo >= 0) eo + "endobj".length else ei + "endstream".length
+        } else {
+          out += num -> PdfObj(dict, None)
+          from = doc.length // unterminated stream: nothing trustworthy after
+        }
       } else {
         out += num -> PdfObj(doc.substring(bodyStart, bodyEnd), None)
+        from = if (endObj >= 0) endObj + "endobj".length else bodyEnd
       }
+      if (from <= bodyStart) from = bodyStart // monotone progress
     }
+    if (guard >= 10000 && from < doc.length && m.find(from))
+      log.warn(s"parseObjects: 10000-object guard truncated the scan " +
+        s"(${doc.length} bytes; objects beyond offset $from were dropped)")
     out.result()
   }
 
@@ -186,12 +209,117 @@ object PdfParser {
   }
 
   // ------------------------------------------------------------------
+  // simple-font /Encoding tables (WinAnsi/MacRoman + /Differences)
+
+  private val fontEntry =
+    java.util.regex.Pattern.compile("/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R")
+  private val encodingName =
+    java.util.regex.Pattern.compile("/(WinAnsiEncoding|MacRomanEncoding|StandardEncoding|PDFDocEncoding)")
+  private val diffToken =
+    java.util.regex.Pattern.compile("(\\d+)|/([^\\s/<>\\[\\]()]+)")
+
+  /** Balanced `<< ... >>` substring starting at `start` (which must point
+    * at the opening `<<`); empty when unbalanced. */
+  private def balancedDict(s: String, start: Int): String = {
+    var depth = 0
+    var i = start
+    while (i < s.length - 1) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return s.substring(start, i)
+      }
+      else i += 1
+    }
+    ""
+  }
+
+  /** Decode table from an /Encoding value: a base-encoding name, or a
+    * dict (inline or via `ref`) with /BaseEncoding + /Differences. */
+  private def encodingTable(objs: Map[Int, PdfObj],
+      fontDict: String): Option[Array[String]] = {
+    val i = fontDict.indexOf("/Encoding")
+    if (i < 0) return None
+    var j = i + "/Encoding".length
+    while (j < fontDict.length && Character.isWhitespace(fontDict.charAt(j))) j += 1
+    val encSrc: String =
+      if (j + 1 < fontDict.length && fontDict.charAt(j) == '<' &&
+        fontDict.charAt(j + 1) == '<')
+        balancedDict(fontDict, j) // inline dict
+      else {
+        val tail = fontDict.substring(j, math.min(fontDict.length, j + 40))
+        val rm = refPattern.matcher(tail)
+        if (rm.lookingAt) // indirect encoding dict
+          objs.get(rm.group(1).toInt).map(_.dict).getOrElse("")
+        else tail // a bare name like /WinAnsiEncoding
+      }
+    if (encSrc.isEmpty) return None
+    val base = {
+      val bm = encodingName.matcher(encSrc)
+      if (bm.find()) PdfEncodings.baseTable(bm.group(1)) else PdfEncodings.Identity
+    }
+    val di = encSrc.indexOf("/Differences")
+    if (di < 0) {
+      if (base eq PdfEncodings.Identity) None else Some(base)
+    } else {
+      val lb = encSrc.indexOf('[', di)
+      val rb = if (lb < 0) -1 else encSrc.indexOf(']', lb)
+      if (lb < 0 || rb < 0) return Some(base)
+      val dm = diffToken.matcher(encSrc.substring(lb + 1, rb))
+      val diffs = List.newBuilder[(Int, String)]
+      var code = 0
+      while (dm.find()) {
+        if (dm.group(1) != null) code = dm.group(1).toInt
+        else { diffs += ((code, dm.group(2))); code += 1 }
+      }
+      Some(PdfEncodings.withDifferences(base, diffs.result()))
+    }
+  }
+
+  /** Document-wide map: font resource name (the /F1 of `Tf`) → 256-entry
+    * byte decode table, for non-CID fonts that declare an /Encoding.
+    * First binding per name wins (per-page resource scoping is rare in
+    * crawled docs; the table only refines byte decoding). */
+  private[pdf] def parseFontEncodings(
+      objs: Map[Int, PdfObj]): Map[String, Array[String]] = {
+    if (!objs.values.exists(_.dict.contains("/Encoding"))) return Map.empty
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Array[String]]
+    objs.toSeq.sortBy(_._1).foreach { case (_, o) =>
+      var fi = o.dict.indexOf("/Font")
+      while (fi >= 0) {
+        var j = fi + "/Font".length
+        while (j < o.dict.length && Character.isWhitespace(o.dict.charAt(j))) j += 1
+        if (j + 1 < o.dict.length && o.dict.charAt(j) == '<' &&
+          o.dict.charAt(j + 1) == '<') {
+          val block = balancedDict(o.dict, j)
+          val em = fontEntry.matcher(block)
+          while (em.find()) {
+            val name = em.group(1)
+            if (!out.contains(name)) {
+              objs.get(em.group(2).toInt).foreach { fontObj =>
+                if (!fontObj.dict.contains("/Type0")) // CID handled via CMap
+                  encodingTable(objs, fontObj.dict).foreach(out(name) = _)
+              }
+            }
+          }
+        }
+        fi = o.dict.indexOf("/Font", fi + 5)
+      }
+    }
+    out.toMap
+  }
+
+  // ------------------------------------------------------------------
   // ToUnicode CMaps (bfchar/bfrange), merged document-wide
 
   private val hexPair = java.util.regex.Pattern.compile(
     "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>")
   private val hexTriple = java.util.regex.Pattern.compile(
     "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>")
+  private val hexSingle = java.util.regex.Pattern.compile(
+    "<([0-9a-fA-F]+)>")
+  private val hexArrayRange = java.util.regex.Pattern.compile(
+    "<([0-9a-fA-F]+)>\\s*<([0-9a-fA-F]+)>\\s*\\[((?:\\s*<[0-9a-fA-F]+>)+)\\s*\\]")
 
   private def utf16beOfHex(hex: String): String = {
     val sb = new java.lang.StringBuilder(hex.length / 4 + 1)
@@ -221,11 +349,31 @@ object PdfParser {
             out(Integer.parseInt(m.group(1), 16)) = utf16beOfHex(m.group(2))
           i = if (end < 0) s.length else end + 1
         }
-        // bfrange sections: <lo> <hi> <dstStart> (array form rare; skipped)
+        // bfrange sections: <lo> <hi> <dstStart>, or the array form
+        // <lo> <hi> [<d1> <d2> ...] (one dst per code)
         i = 0
         while ({ i = s.indexOf("beginbfrange", i); i >= 0 }) {
           val end = s.indexOf("endbfrange", i)
-          val section = if (end < 0) s.substring(i) else s.substring(i, end)
+          val rawSection = if (end < 0) s.substring(i) else s.substring(i, end)
+          // array form first; matches are removed so the triple matcher
+          // can't misalign across an array's elements
+          val am = hexArrayRange.matcher(rawSection)
+          val sb = new java.lang.StringBuilder()
+          var last = 0
+          while (am.find() && out.size < 65536) {
+            sb.append(rawSection, last, am.start())
+            last = am.end()
+            val lo = Integer.parseInt(am.group(1), 16)
+            val dm = hexSingle.matcher(am.group(3))
+            var c = lo
+            val hi = Integer.parseInt(am.group(2), 16)
+            while (dm.find() && c <= hi && out.size < 65536) {
+              out(c) = utf16beOfHex(dm.group(1))
+              c += 1
+            }
+          }
+          sb.append(rawSection, last, rawSection.length)
+          val section = sb.toString
           val m = hexTriple.matcher(section)
           while (m.find() && out.size < 65536) {
             val lo = Integer.parseInt(m.group(1), 16)
@@ -430,7 +578,11 @@ object PdfParser {
 
   /** Interpret one content stream into positioned glyph runs. */
   private[pdf] def interpretContent(content: String): List[GlyphRun] =
-    interpretContent(content, cid = false, Map.empty)
+    interpretContent(content, cid = false, Map.empty, Map.empty)
+
+  private[pdf] def interpretContent(content: String, cid: Boolean,
+      toUni: Map[Int, String]): List[GlyphRun] =
+    interpretContent(content, cid, toUni, Map.empty)
 
   /** Map a hex string's byte-chars as 2-byte CIDs through the ToUnicode
     * table; unmapped codes (and odd trailing bytes) become U+FFFD. */
@@ -447,7 +599,8 @@ object PdfParser {
   }
 
   private[pdf] def interpretContent(content: String, cid: Boolean,
-      toUni: Map[Int, String]): List[GlyphRun] = {
+      toUni: Map[Int, String],
+      fonts: Map[String, Array[String]]): List[GlyphRun] = {
     if (!content.contains("BT")) return Nil
     val runs = List.newBuilder[GlyphRun]
     var count = 0
@@ -456,15 +609,23 @@ object PdfParser {
     var leading = 14.0
     var lineX = 0.0; var lineY = 0.0
     var curX = 0.0; var curY = 0.0
+    // current simple-font decode table (null = identity); selected by Tf
+    var fontTable: Array[String] = null
+    var lastName: String = null
     // operand stack (numbers/strings since last operator)
     val nums = scala.collection.mutable.ArrayBuffer.empty[Double]
     var lastStr: String = null
+    var lastStrCid = false // CID hex strings are already fully decoded
     val arr = scala.collection.mutable.ArrayBuffer.empty[Either[String, Double]]
+    var arrCid = false // uniform per array: Tf cannot occur inside [ ]
     var inArray = false
 
-    def show(text: String): Unit = {
+    def show(text: String, cidDecoded: Boolean): Unit = {
       if (text.nonEmpty && count < 100000) {
-        runs += GlyphRun(curX, curY, fontSize, text)
+        val decoded =
+          if (cidDecoded || fontTable == null) text
+          else PdfEncodings.decode(text, fontTable)
+        runs += GlyphRun(curX, curY, fontSize, decoded)
         count += 1
         curX += 0.5 * fontSize * text.length
       }
@@ -476,15 +637,21 @@ object PdfParser {
         case TNum(v) =>
           if (inArray) arr += Right(v) else nums += v
         case TStr(raw, isHex) =>
-          val v = if (cid && isHex) decodeCid(raw, toUni) else raw
-          if (inArray) arr += Left(v) else lastStr = v
+          // hex strings route through the CID CMap only when no simple
+          // font is selected (a Type0 font is never in `fonts`)
+          val viaCid = cid && isHex && fontTable == null
+          val v = if (viaCid) decodeCid(raw, toUni) else raw
+          if (inArray) { arr += Left(v); arrCid = viaCid }
+          else { lastStr = v; lastStrCid = viaCid }
         case TArrOpen => inArray = true; arr.clear()
         case TArrClose => inArray = false
-        case TName(_) => // font name etc. — ignored
+        case TName(v) => lastName = v // consumed by Tf
         case TOp(op) =>
           op match {
             case "Tf" =>
               if (nums.nonEmpty) fontSize = nums.last
+              fontTable =
+                if (lastName != null) fonts.getOrElse(lastName, null) else null
             case "TL" =>
               if (nums.nonEmpty) leading = nums.last
             case "Td" =>
@@ -510,16 +677,16 @@ object PdfParser {
               lineX = 0; lineY = 0; curX = 0; curY = 0
             case "ET" => // end text
             case "Tj" =>
-              if (lastStr != null) { show(lastStr); lastStr = null }
+              if (lastStr != null) { show(lastStr, lastStrCid); lastStr = null }
             case "'" =>
               lineY -= leading; curX = lineX; curY = lineY
-              if (lastStr != null) { show(lastStr); lastStr = null }
+              if (lastStr != null) { show(lastStr, lastStrCid); lastStr = null }
             case "\"" =>
               lineY -= leading; curX = lineX; curY = lineY
-              if (lastStr != null) { show(lastStr); lastStr = null }
+              if (lastStr != null) { show(lastStr, lastStrCid); lastStr = null }
             case "TJ" =>
               arr.foreach {
-                case Left(s) => show(s)
+                case Left(s) => show(s, arrCid)
                 case Right(adj) => curX -= adj / 1000.0 * fontSize
               }
               arr.clear()

@@ -124,6 +124,76 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(text == "Hi\nabc\nH�", text.map(_.toInt).mkString(","))
   }
 
+  test("WinAnsi /Encoding decodes cp1252 bytes (accented text, typography)") {
+    // 0xE9 = é in cp1252; 0x93/0x94 = curly quotes; 0x85 = ellipsis
+    val content =
+      "BT /F1 12 Tf 72 720 Td (caf\u00e9 \u0093ok\u0094\u0085) Tj ET"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "5 0 obj << /Type /Font /Subtype /TrueType /BaseFont /Helv " +
+      "/Encoding /WinAnsiEncoding >> endobj\n" +
+      "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val text = PdfParser.extractText(bytes)
+    assert(text == "café “ok”…", text.map(_.toInt).mkString(","))
+  }
+
+  test("/Differences remaps codes over the base encoding") {
+    // code 65 ('A') → eacute, 66 ('B') → Euro via uni20AC, 67 stays 'C'
+    val content = "BT /F1 12 Tf 72 720 Td (ABC) Tj ET"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type1 /Encoding 6 0 R >> endobj\n" +
+      "6 0 obj << /Type /Encoding /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [ 65 /eacute 66 /uni20AC ] >> endobj\n" +
+      "%%EOF\n").getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) == "é€C")
+  }
+
+  test("unencoded fonts keep byte-identity (no /Encoding, no table)") {
+    val content = "BT /F1 12 Tf 72 720 Td (plain ascii) Tj ET"
+    assert(PdfParser.extractText(pdf(content)) == "plain ascii")
+  }
+
+  test("bfrange array form maps each code to its own target") {
+    val cmap = "begincmap\n" +
+      "1 beginbfrange\n<0005> <0007> [<0058> <0059> <005A>]\nendbfrange\n" +
+      "1 beginbfrange\n<0020> <0021> <0030>\nendbfrange\nendcmap"
+    val content = "BT /F1 12 Tf 72 720 Td <0005 0006 0007 0020 0021> Tj ET"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+      "/ToUnicode 6 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) == "XYZ01")
+  }
+
+  test("phantom 'obj' bytes inside stream payloads create no objects") {
+    // the payload spells "7 0 obj << /Type /Page ..." — a naive scanner
+    // would register object 7 and corrupt the page set
+    val trap = "7 0 obj << /Type /Page /Contents 9 0 R >> endobj"
+    val content = "BT /F1 12 Tf 72 720 Td (real page) Tj ET"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"5 0 obj << /Length ${trap.length} >>\nstream\n$trap\nendstream\nendobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) == "real page")
+  }
+
   test("garbage never throws") {
     assert(PdfParser.extractText("%PDF-1.4 garbage".getBytes(UTF_8)) == "")
     val r = new java.util.Random(1)
