@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.nio.file.Files
+
+/** Contract suite for [[ExtractPipeline.CommitProtocol]]: any
+  * implementation must provide (1) exactly-once resume — committed
+  * buckets are skipped on rerun, (2) idempotent replay — re-writing a
+  * bucket replaces its previous output, never duplicates it, (3)
+  * lineage completeness. Run against the parquet implementation and an
+  * in-memory twin of an atomic table catalog (the semantics
+  * IcebergCommitProtocol maps onto `overwritePartitions()`/`append()` —
+  * the Iceberg runtime itself is not in this sandbox). */
+class CommitProtocolSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-protocol-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Per-implementation handle: a shared results store that survives
+    * `resetLineage()` (which simulates losing every commit record). */
+  private trait Harness {
+    def protocol: ExtractPipeline.CommitProtocol
+    def resetLineage(): Unit
+    def outCount(): Long
+    def outDistinctUrls(): Long
+  }
+
+  /** Atomic-table twin: per-bucket replace on write, append-only
+    * lineage — the same contract IcebergCommitProtocol gets from
+    * overwritePartitions()/append(). */
+  private final class InMemoryProtocol extends ExtractPipeline.CommitProtocol {
+    val store = scala.collection.mutable.Map.empty[Int, Array[Row]]
+    val lineage = scala.collection.mutable.ArrayBuffer.empty[Row]
+    def committedBuckets(spark: SparkSession, runId: String): Set[Int] =
+      lineage.filter(_.getAs[String]("run_id") == runId)
+        .map(_.getAs[Int]("partition_id")).toSet
+    def writeResults(results: DataFrame): Unit =
+      results.collect().groupBy(_.getAs[Int]("bucket"))
+        .foreach { case (b, rows) => store(b) = rows } // replace, not append
+    def appendLineage(l: DataFrame): Unit = lineage ++= l.collect()
+  }
+
+  private def inMemoryHarness(): Harness = new Harness {
+    private val p = new InMemoryProtocol
+    val protocol: ExtractPipeline.CommitProtocol = p
+    def resetLineage(): Unit = p.lineage.clear()
+    def outCount(): Long = p.store.values.map(_.length.toLong).sum
+    def outDistinctUrls(): Long =
+      p.store.values.flatten.map(_.getAs[String]("url")).toSet.size.toLong
+  }
+
+  private def parquetHarness(): Harness = new Harness {
+    private val base = Files.createTempDirectory("graft-proto").toString
+    private var gen = 0
+    // delegate to a per-generation ParquetCommitProtocol so
+    // resetLineage() can forget all commit records while the output
+    // directory survives (the crash-between-write-and-commit shape)
+    private def current = new ExtractPipeline.ParquetCommitProtocol(
+      base + "/out", base + s"/lin$gen")
+    val protocol: ExtractPipeline.CommitProtocol =
+      new ExtractPipeline.CommitProtocol {
+        def committedBuckets(s: SparkSession, runId: String): Set[Int] =
+          current.committedBuckets(s, runId)
+        def writeResults(results: DataFrame): Unit =
+          current.writeResults(results)
+        def appendLineage(l: DataFrame): Unit = current.appendLineage(l)
+      }
+    def resetLineage(): Unit = gen += 1
+    def outCount(): Long = spark.read.parquet(base + "/out").count()
+    def outDistinctUrls(): Long =
+      spark.read.parquet(base + "/out").select("url").distinct().count()
+  }
+
+  for ((name, mk) <- Seq(
+      "in-memory atomic-table twin" -> (() => inMemoryHarness()),
+      "parquet dynamic-overwrite" -> (() => parquetHarness()))) {
+    test(s"commit protocol contract: $name") {
+      val h = mk()
+      val pages = ExtractPipeline.pages(spark, 240, 4)
+
+      // 1) fresh run processes every bucket
+      val s1 = ExtractPipeline.run(spark, pages, h.protocol, "runC", 6,
+        ExtractPipeline.DefaultSalt)
+      assert(s1.bucketsProcessed == 6 && s1.docsIn == 240)
+      assert(h.outCount() == 240)
+
+      // 2) exactly-once resume: rerun is a no-op
+      val s2 = ExtractPipeline.run(spark, pages, h.protocol, "runC", 6,
+        ExtractPipeline.DefaultSalt)
+      assert(s2.bucketsSkipped == 6 && s2.bucketsProcessed == 0)
+      assert(h.outCount() == 240)
+
+      // 3) idempotent replay: lose ALL commit records (crash between
+      // write and lineage append) → full replay must leave one copy
+      h.resetLineage()
+      val s3 = ExtractPipeline.run(spark, pages, h.protocol, "runC", 6,
+        ExtractPipeline.DefaultSalt)
+      assert(s3.bucketsProcessed == 6)
+      assert(h.outCount() == 240, "replay must replace, not append")
+      assert(h.outDistinctUrls() == 240)
+    }
+  }
+
+  test("iceberg protocol reads committed buckets from the lineage table") {
+    // catalog-independent half of IcebergCommitProtocol: a missing
+    // lineage table means nothing is committed (fresh run), and the
+    // bucket filter keys on run_id (runtime write path needs the
+    // Iceberg catalog jar — not in this sandbox)
+    val p = new ExtractPipeline.IcebergCommitProtocol(
+      "nosuch.results_table", "nosuch.lineage_table")
+    assert(p.committedBuckets(spark, "runZ").isEmpty)
+  }
+}
