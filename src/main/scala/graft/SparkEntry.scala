@@ -385,6 +385,9 @@ object SparkEntry {
     }),
 
     // ---- multimodal plumbing (stubbed codec; real Spark shape) ----------
+    // metadata is modular arithmetic over media_id, so the DuckDB oracle
+    // independently verifies the encode→decode round trip (the feature
+    // vector itself stays rows-only: the stub codec is not SQL)
     "x_multimodal_features" -> ((s, _) => {
       val media = Multimodal.synth(s, 300, 4)
       Multimodal.extractFeatures(media).toDF()
@@ -828,6 +831,30 @@ object SparkEntry {
         "WHEN doc_id % 6 = 3 THEN 'Discover' " +
         "WHEN doc_id % 6 = 4 THEN 'Diners Club - International' " +
         "ELSE 'unknown' END AS brand FROM n ORDER BY doc_id"),
+
+    // the stub codec's metadata contract, recomputed independently:
+    // kind = id%3, width = 16+(id*7919)%64, height = 16+(id*104729)%64,
+    // frames = video ? 1+(id*13)%30 : 1, bytes = 17 header + 64+(id*31)%192
+    "x_multimodal_features" ->
+      ("SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS kind, " +
+        "CAST(16 + (doc_id * 7919) % 64 AS BIGINT) AS width, " +
+        "CAST(16 + (doc_id * 104729) % 64 AS BIGINT) AS height, " +
+        "CASE WHEN doc_id % 3 = 2 THEN CAST(1 + (doc_id * 13) % 30 AS BIGINT) " +
+        "ELSE 1 END AS n_frames, " +
+        "CAST(81 + (doc_id * 31) % 192 AS BIGINT) AS bytes " +
+        "FROM documents WHERE doc_id < 300 ORDER BY media_id"),
+
+    "x_multimodal_frames" ->
+      ("WITH m AS (SELECT doc_id AS media_id, " +
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS kind, " +
+        "CASE WHEN doc_id % 3 = 2 THEN 1 + (doc_id * 13) % 30 ELSE 1 END " +
+        "AS n_frames FROM documents WHERE doc_id < 200) " +
+        "SELECT media_id, kind, " +
+        "CAST(unnest(range(0, CAST(n_frames AS BIGINT), 5)) AS BIGINT) AS frame " +
+        "FROM m ORDER BY media_id, frame"),
 
     "x_normalize_lines" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -33,18 +33,23 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** Deterministic synthetic media table (seeded; magic-tagged payloads
-    * the stub codec can "decode"). */
+  /** Deterministic synthetic media table (magic-tagged payloads the stub
+    * codec can "decode"). Metadata is modular arithmetic over media_id —
+    * independently recomputable by the DuckDB oracle, so the driver can
+    * verify the whole encode→decode metadata round trip; only the opaque
+    * payload BODY bytes are seeded-random. */
   def synth(spark: SparkSession, n: Long, partitions: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n, 1L, partitions).map { i =>
       val r = new java.util.Random(0xface + i * 7919L)
       val kinds = Array("image", "audio", "video")
       val kind = kinds((i % 3).toInt)
-      val w = 16 + r.nextInt(64)
-      val h = 16 + r.nextInt(64)
-      val frames = if (kind == "video") 1 + r.nextInt(30) else 1
-      MediaRow(i, kind, MediaCodecStub.encode(kind, w, h, frames, r), w, h)
+      val w = (16 + (i * 7919L) % 64).toInt
+      val h = (16 + (i * 104729L) % 64).toInt
+      val frames = if (kind == "video") (1 + (i * 13L) % 30).toInt else 1
+      val bodyLen = (64 + (i * 31L) % 192).toInt
+      MediaRow(i, kind,
+        MediaCodecStub.encode(kind, w, h, frames, bodyLen, r), w, h)
     }
   }
 
@@ -89,9 +94,9 @@ object Multimodal {
 object MediaCodecStub {
   private val Magic = Array[Byte]('G', 'M', 'M', '1')
 
-  def encode(kind: String, w: Int, h: Int, frames: Int,
+  def encode(kind: String, w: Int, h: Int, frames: Int, bodyLen: Int,
       r: java.util.Random): Array[Byte] = {
-    val body = new Array[Byte](64 + r.nextInt(192))
+    val body = new Array[Byte](bodyLen)
     r.nextBytes(body)
     val bb = java.nio.ByteBuffer.allocate(4 + 1 + 12 + body.length)
     bb.put(Magic)
