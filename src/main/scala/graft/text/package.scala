@@ -7,6 +7,20 @@ package graft
   *  - Python `round(x, n)` rounds the exact binary double, ties-to-even.
   *  - Python `re` treats `\d`/`\w`/`\s`/`\b` as Unicode classes on `str`.
   *  - Python `str.isdigit`/`isalnum` are Unicode-aware.
+  *
+  * BMP-ONLY CONTRACT: the per-`Char` class helpers (isPyDigit,
+  * isRegexWordChar, isRegexWs, …) iterate UTF-16 code UNITS, while
+  * Python's regex engine iterates code POINTS. They agree on every BMP
+  * character (exhaustively fuzzed in RegexParitySpec) but diverge on
+  * supplementary-plane characters — e.g. U+1D7CE MATHEMATICAL BOLD DIGIT
+  * ZERO matches Python `\d` but is two surrogates here, neither a digit.
+  * The counters built on them (digitCount, maxDigitRun, countWords
+  * gates) therefore treat astral digits/letters as noise. This is a
+  * deliberate trade: code-point iteration costs a branch per char in the
+  * hottest loops, and astral DIGITS in crawled fintech documents are
+  * adversarial-exotic (the reference's own OCR route can't even emit
+  * them — its recognizer alphabet is BMP). RegexParitySpec pins the
+  * divergence explicitly so a future contract change is a conscious one.
   */
 package object text {
 

@@ -6,7 +6,9 @@ import graft.text.{collapseWs, collapseWsStrip, digitGroups, isPyDigit,
 
 /** Differential fuzz: the hand-rolled hot-path primitives must be
   * EXACTLY the regex semantics they replaced (the byte-identity contract
-  * rides on them). */
+  * rides on them) — for every BMP character. Supplementary-plane
+  * divergence is a DOCUMENTED contract (graft.text package scaladoc),
+  * pinned by an explicit test below rather than skipped silently. */
 class RegexParitySpec extends AnyFunSuite {
 
   private val wsOne = uPattern("\\s")
@@ -151,5 +153,22 @@ class RegexParitySpec extends AnyFunSuite {
     assert(Sanitizer.sanitize("x 123- y") == "x 123 y")
     // below the gates: untouched
     assert(Sanitizer.sanitize("x 12-34 y") == "x 12-34 y")
+  }
+
+  test("supplementary-plane divergence is the documented BMP-only contract") {
+    // U+1D7CE MATHEMATICAL BOLD DIGIT ZERO: Python \d (and Java's
+    // code-point regex) match it; the per-char helpers see two
+    // surrogates, neither a digit. This test PINS that divergence — if
+    // the helpers ever go code-point-wide, update the package scaladoc
+    // and flip these assertions deliberately.
+    val astralDigit = new String(Character.toChars(0x1D7CE))
+    assert(digitRun.matcher(astralDigit).find()) // the regex matches...
+    assert(astralDigit.forall(!isPyDigit(_)))    // ...the char helper doesn't
+    assert(graft.text.digitCount(astralDigit) == 0)
+    assert(maxDigitRun(astralDigit) == 0)
+    // BMP digits (including non-ASCII ones) agree with the regex
+    val devanagariFive = '५'
+    assert(isPyDigit(devanagariFive) &&
+      digitRun.matcher(String.valueOf(devanagariFive)).find())
   }
 }
