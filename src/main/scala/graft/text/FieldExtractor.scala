@@ -28,9 +28,21 @@ object FieldExtractor {
     * gates = always run. `mrzRun` gates on a ≥30-char [A-Za-z0-9<] run
     * (necessary for the MRZ patterns) instead of a literal. `minDigitRun`
     * gates on the longest consecutive-digit run (a pattern containing
-    * `\d{k}` cannot match text whose longest run is < k). */
+    * `\d{k}` cannot match text whose longest run is < k).
+    *
+    * `anchored = true` declares the stronger property that EVERY
+    * alternative of the pattern BEGINS with one of the `gates` literals
+    * (case-folded 1:1), so every match must start at a gate-literal
+    * occurrence in the lowercased text. The matcher then only attempts
+    * `lookingAt` at those positions (transparent bounds keep \b and
+    * lookarounds exact) instead of crawling every position of the text —
+    * identical results, verified by the anchored-vs-find parity fuzz in
+    * FieldExtractorSpec and the corpus fingerprint. */
   final case class Gated(pattern: Pattern, gates: List[String] = Nil,
-      mrzRun: Boolean = false, minDigitRun: Int = 0)
+      mrzRun: Boolean = false, minDigitRun: Int = 0,
+      anchored: Boolean = false) {
+    val gatesArr: Array[String] = gates.toArray
+  }
 
   private def hasMrzRun(text: String): Boolean = {
     var run = 0
@@ -51,7 +63,9 @@ object FieldExtractor {
     Gated(p("\\b(\\d{1,2}[/]\\d{1,2}[/]\\d{2,4})\\b"), minDigitRun = 1))
 
   private val DocNumberPatterns = List(
-    Gated(p("\\b(?:DNI|NIE|NIF|ID|No\\.?|NUM\\.?|CÉDULA|CEDULA|DOC)[\\s:#]*([A-Z0-9?]{6,20})(?=[^A-Z0-9?]|$)")),
+    Gated(p("\\b(?:DNI|NIE|NIF|ID|No\\.?|NUM\\.?|CÉDULA|CEDULA|DOC)[\\s:#]*([A-Z0-9?]{6,20})(?=[^A-Z0-9?]|$)"),
+      List("dni", "nie", "nif", "id", "no", "num", "cédula", "cedula", "doc"),
+      anchored = true),
     Gated(p("\\b([A-Z]{1,3}\\s?\\d{6,12})\\b"), minDigitRun = 6),
     Gated(p("\\b(\\d{7,12}[A-Z]?)\\b"), minDigitRun = 7))
 
@@ -65,38 +79,39 @@ object FieldExtractor {
 
   private val NamePatterns = List(
     Gated(p("(?:FULL\\s+NAME|NOMBRE\\s+COMPLETO)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑ\\s\\-']{4,60})"),
-      List("full", "nombre")),
-    Gated(p("P<[A-Z]{3}<([A-Z<]{5,44})"), List("p<")),
+      List("full", "nombre"), anchored = true),
+    Gated(p("P<[A-Z]{3}<([A-Z<]{5,44})"), List("p<"), anchored = true),
     Gated(p("(?:SURNAME|APELLIDOS?|LAST\\s+NAME|NOM)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑ\\s\\-']{2,50})"),
-      List("surname", "apellido", "last", "nom")),
+      List("surname", "apellido", "last", "nom"), anchored = true),
     Gated(p("(?:GIVEN\\s+NAMES?|NOMBRES?|FIRST\\s+NAME|PRÉNOM)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑ\\s\\-']{2,40})"),
-      List("given", "nombre", "first", "prénom")))
+      List("given", "nombre", "first", "prénom"), anchored = true))
 
   private val AddressPatterns = List(
     Gated(p("(?:ADDRESS|DIRECCIÓN|DOMICILIO|ADRESSE)[:\\s]+(.{10,100}?)(?:\\n|$)"),
-      List("address", "dirección", "domicilio", "adresse")),
+      List("address", "dirección", "domicilio", "adresse"), anchored = true),
     Gated(p("(?:STREET|CALLE|RUE|STRASSE)[:\\s]+(.{5,80}?)(?:\\n|$)"),
-      List("street", "calle", "rue", "strasse")))
+      List("street", "calle", "rue", "strasse"), anchored = true))
 
   private val ExpiryPatterns = List(
     Gated(p("(?:EXPIRY|EXPIRATION|EXP\\.?|VENC\\.?|VÁLIDO\\s+HASTA|VALID\\s+(?:THRU|UNTIL))[:\\s/]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"),
-      List("exp", "venc", "válido", "valid")),
+      List("exp", "venc", "válido", "valid"), anchored = true),
     Gated(p("(?:EXPIRY|EXP\\.?|EXPIRATION|VENC\\.?|VALID\\s+THRU)[:\\s/]+(\\d{1,2}[/.\\-]\\d{2,4})(?![/.\\-]\\d{2,4})"),
-      List("exp", "venc", "valid")))
+      List("exp", "venc", "valid"), anchored = true))
 
   private val NationalityPatterns = List(
     Gated(p("(?:NATIONALITY|NACIONALIDAD|NATIONALITÉ)[:\\s]+([A-Z]{2,3}|[A-Za-z]{4,20})"),
-      List("nationali", "nacionalidad")))
+      List("nationali", "nacionalidad"), anchored = true))
 
   private val GenderPatterns = List(
     Gated(p("(?:SEX|SEXO|GENRE|GESCHLECHT)[:\\s]+([MFX])"),
-      List("sex", "genre", "geschlecht")),
+      List("sex", "genre", "geschlecht"), anchored = true),
     Gated(p("\\b(MALE|FEMALE|MASCULINO|FEMENINO)\\b"),
-      List("male", "masculino", "femenino")))
+      List("male", "female", "masculino", "femenino"), anchored = true))
 
   private val TaxNumberPatterns = List(
     Gated(p("(?:NIF|NIE|RFC|CPF|CNPJ|TIN|VAT|TAX\\s+ID)[:\\s#]*([A-Z0-9\\-\\.]{6,20})"),
-      List("nif", "nie", "rfc", "cpf", "cnpj", "tin", "vat", "tax")),
+      List("nif", "nie", "rfc", "cpf", "cnpj", "tin", "vat", "tax"),
+      anchored = true),
     Gated(p("\\b(\\d{3}[.\\-]\\d{3}[.\\-]\\d{3}[.\\-]\\d{1,2})\\b"), minDigitRun = 3),
     Gated(p("\\b([A-Z]{4}\\d{6}[A-Z0-9]{3})\\b"), minDigitRun = 6))
 
@@ -106,71 +121,72 @@ object FieldExtractor {
 
   private val CvvPatterns = List(
     Gated(p("(?:CVV|CVC|CVV2|CVC2|CSC)[:\\s]+(\\d{3,4})"),
-      List("cvv", "cvc", "csc")))
+      List("cvv", "cvc", "csc"), anchored = true))
 
   private val AccountNumberPatterns = List(
     Gated(p("(?:ACCOUNT\\s+(?:NUMBER|NO\\.?)|CUENTA|IBAN|NUMÉRO\\s+DE\\s+COMPTE)[:\\s#]*([A-Z0-9\\s\\-]{8,34})"),
-      List("account", "cuenta", "iban", "numéro")),
+      List("account", "cuenta", "iban", "numéro"), anchored = true),
     Gated(p("\\b(IBAN[\\s:]+[A-Z]{2}\\d{2}[A-Z0-9\\s]{11,29})\\b"),
-      List("iban")))
+      List("iban"), anchored = true))
 
   private val EmployerPatterns = List(
     Gated(p("(?:EMPLOYER|EMPRESA|COMPANY|EMPLOYEUR)[:\\s]+(.{3,60}?)(?:\\n|$)"),
-      List("employer", "empresa", "company", "employeur")))
+      List("employer", "empresa", "company", "employeur"), anchored = true))
 
   private val SalaryPatterns = List(
     Gated(p("(?:SALARY|SALARIO|GROSS\\s+PAY|NET\\s+PAY|SALAIRE)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("salar", "salaire", "gross", "net")),
+      List("salar", "salaire", "gross", "net"), anchored = true),
     Gated(p("(?:TOTAL\\s+EARNINGS|TOTAL\\s+SALARIO)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("total")))
+      List("total"), anchored = true))
 
   private val PeriodPatterns = List(
     Gated(p("(?:PAY\\s+PERIOD|PERIODO|PERIOD|FOR\\s+THE\\s+MONTH\\s+OF)[:\\s]+(.{3,40}?)(?:\\n|$)"),
-      List("period", "month")),
+      List("period", "month", "pay", "for"), anchored = true),
     Gated(p("(?:STATEMENT\\s+PERIOD|FROM|DESDE)[:\\s]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"),
-      List("statement", "from", "desde")))
+      List("statement", "from", "desde"), anchored = true))
 
   private val TotalPatterns = List(
     Gated(p("(?:TOTAL\\s+AMOUNT|TOTAL|IMPORTE\\s+TOTAL|MONTANT\\s+TOTAL)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("total", "importe", "montant")),
+      List("total", "importe", "montant"), anchored = true),
     Gated(p("(?:AMOUNT\\s+DUE|SALDO\\s+TOTAL|BALANCE\\s+DUE)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("amount", "saldo", "balance")))
+      List("amount", "saldo", "balance"), anchored = true))
 
   private val OpeningBalancePatterns = List(
     Gated(p("(?:OPENING\\s+BALANCE|SALDO\\s+INICIAL|SOLDE\\s+INITIAL|ANFANGSSALDO)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("opening", "saldo", "solde", "anfangssaldo")),
+      List("opening", "saldo", "solde", "anfangssaldo"), anchored = true),
     Gated(p("(?:BALANCE\\s+BROUGHT\\s+FORWARD|B/F)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("balance", "b/f")))
+      List("balance", "b/f"), anchored = true))
 
   private val ClosingBalancePatterns = List(
     Gated(p("(?:CLOSING\\s+BALANCE|SALDO\\s+FINAL|SOLDE\\s+FINAL|ENDSALDO)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("closing", "saldo", "solde", "endsaldo")),
+      List("closing", "saldo", "solde", "endsaldo"), anchored = true),
     Gated(p("(?:BALANCE\\s+CARRIED\\s+FORWARD|C/F|FINAL\\s+BALANCE)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("balance", "c/f")))
+      List("balance", "c/f"), anchored = true))
 
   private val VatPatterns = List(
     Gated(p("(?:VAT|IVA|TVA|TAX\\s+AMOUNT|MWST)[:\\s]+([£$€\\d,\\.\\s%]+)"),
-      List("vat", "iva", "tva", "tax", "mwst")),
+      List("vat", "iva", "tva", "tax", "mwst"), anchored = true),
     Gated(p("(?:VALUE\\s+ADDED\\s+TAX)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("value")))
+      List("value"), anchored = true))
 
   private val IssueDatePatterns = List(
     Gated(p("(?:ISSUE\\s+DATE|DATE\\s+OF\\s+ISSUE|ISSUED|EMISSION\\s+DATE|FECHA\\s+DE\\s+EMISI[OÓ]N)[:\\s]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"),
-      List("issue", "emission", "emisi")),
+      List("issue", "emission", "emisi", "date", "fecha"), anchored = true),
     Gated(p("(?:DATE\\s+ISSUED|FECHA\\s+DE\\s+EXPEDICI[OÓ]N)[:\\s]+(\\d{1,2}[/.\\-]\\d{1,2}[/.\\-]\\d{2,4})"),
-      List("issued", "expedici")))
+      List("issued", "expedici", "date", "fecha"), anchored = true))
 
   private val PlaceOfBirthPatterns = List(
     Gated(p("(?:PLACE\\s+OF\\s+BIRTH|LIEU\\s+DE\\s+NAISSANCE|LUGAR\\s+DE\\s+NACIMIENTO|LUOGO\\s+DI\\s+NASCITA|GEBURTSORT)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑA-Za-z\\s\\-,]{2,50})"),
-      List("birth", "naissance", "nacimiento", "nascita", "geburtsort")),
+      List("birth", "naissance", "nacimiento", "nascita", "geburtsort",
+        "place", "lieu", "lugar", "luogo"), anchored = true),
     Gated(p("(?:POB|NACIDO\\s+EN|BORN\\s+IN)[:\\s]+([A-ZÁÉÍÓÚÜÑ][A-ZÁÉÍÓÚÜÑA-Za-z\\s\\-,]{2,50})"),
-      List("pob", "nacido", "born")))
+      List("pob", "nacido", "born"), anchored = true))
 
   private val OutstandingAmountPatterns = List(
     Gated(p("(?:OUTSTANDING\\s+AMOUNT|AMOUNT\\s+OUTSTANDING|SALDO\\s+PENDIENTE|MONTANT\\s+EN\\s+SOUFFRANCE)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("outstanding", "saldo", "montant")),
+      List("outstanding", "saldo", "montant", "amount"), anchored = true),
     Gated(p("(?:OVERDUE|PAST\\s+DUE)[:\\s]+([£$€\\d,\\.\\s]+)"),
-      List("overdue", "past")))
+      List("overdue", "past"), anchored = true))
 
   final case class FieldDef(
       name: String,
@@ -402,22 +418,78 @@ object FieldExtractor {
       patterns: List[Gated]): Option[String] =
     tryPatternsLower(text, lower, patterns, graft.text.maxDigitRun(text))
 
+  /** Leftmost match by probing ONLY gate-literal positions (see
+    * [[Gated]] `anchored`). Transparent bounds make \b and lookbehinds
+    * see the full text; anchoring bounds stay default so `$` still
+    * matches at the true end of input (every region ends there). */
+  private def findAnchored(text: String, lower: String,
+      g: Gated): Option[String] = {
+    val m = g.pattern.matcher(text)
+    m.useTransparentBounds(true)
+    val gates = g.gatesArr
+    val next = new Array[Int](gates.length)
+    var i = 0
+    while (i < gates.length) { next(i) = lower.indexOf(gates(i)); i += 1 }
+    while (true) {
+      var p = Int.MaxValue
+      i = 0
+      while (i < gates.length) {
+        val n = next(i)
+        if (n >= 0 && n < p) p = n
+        i += 1
+      }
+      if (p == Int.MaxValue) return None
+      m.region(p, text.length)
+      if (m.lookingAt()) {
+        val v =
+          if (m.groupCount() >= 1 && m.group(1) != null) m.group(1)
+          else m.group()
+        return Some(v.trim)
+      }
+      i = 0
+      while (i < gates.length) {
+        if (next(i) == p) next(i) = lower.indexOf(gates(i), p + 1)
+        i += 1
+      }
+    }
+    None // unreachable
+  }
+
+  /** Reference scan with anchoring disabled — the parity-fuzz baseline
+    * (FieldExtractorSpec asserts it equals the anchored path on
+    * adversarial inputs). */
+  private[text] def tryPatternsNoAnchor(text: String, lower: String,
+      patterns: List[Gated]): Option[String] =
+    tryPatternsLower(text, lower, patterns.map(_.copy(anchored = false)),
+      graft.text.maxDigitRun(text))
+
   /** Variant with the caller-precomputed longest digit run (one pass per
     * document instead of one per pattern list). */
   def tryPatternsLower(text: String, lower: String,
       patterns: List[Gated], textMaxDigitRun: Int): Option[String] = {
+    // positional anchoring needs index alignment between text and its
+    // lowercase copy; rare chars (e.g. U+0130) lowercase to TWO chars —
+    // detected by the length check, which falls back to the plain scan
+    val aligned = lower.length == text.length
     patterns.foreach { g =>
-      val gateOk =
-        (g.minDigitRun == 0 || textMaxDigitRun >= g.minDigitRun) &&
-        (if (g.mrzRun) hasMrzRun(text)
-         else g.gates.isEmpty || g.gates.exists(lower.contains))
-      if (gateOk) {
-        val m = g.pattern.matcher(text)
-        if (m.find()) {
-          val v =
-            if (m.groupCount() >= 1 && m.group(1) != null) m.group(1)
-            else m.group()
-          return Some(v.trim)
+      if (g.anchored && aligned && g.minDigitRun == 0 && !g.mrzRun) {
+        findAnchored(text, lower, g) match {
+          case some @ Some(_) => return some
+          case None => // next pattern
+        }
+      } else {
+        val gateOk =
+          (g.minDigitRun == 0 || textMaxDigitRun >= g.minDigitRun) &&
+          (if (g.mrzRun) hasMrzRun(text)
+           else g.gates.isEmpty || g.gates.exists(lower.contains))
+        if (gateOk) {
+          val m = g.pattern.matcher(text)
+          if (m.find()) {
+            val v =
+              if (m.groupCount() >= 1 && m.group(1) != null) m.group(1)
+              else m.group()
+            return Some(v.trim)
+          }
         }
       }
     }

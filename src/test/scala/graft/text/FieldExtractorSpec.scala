@@ -143,6 +143,53 @@ class FieldExtractorSpec extends AnyFunSuite {
     assert(FieldExtractor.normalize("date_of_birth", "15/03/1985") == "15-03-1985")
   }
 
+  test("anchored gate scan == plain regex scan (adversarial fuzz)") {
+    // the anchored path probes only gate-literal positions; it must
+    // return EXACTLY what a full find() returns, on inputs crafted to
+    // break it: keywords as substrings (female/subtotal/denomination),
+    // case variants, accents, keywords at 0/end, and U+0130 (whose
+    // lowercase is two chars → alignment fallback)
+    val fragments = Array(
+      "FULL NAME: JUAN PÉREZ GÓMEZ", "nombre completo: ANA MARÍA",
+      "Female", "MALE", "female driver", "normalcy denomination economy",
+      "subtotal 12.99", "TOTAL: 145.00", "total amount due",
+      "VAT: 20.50", "privat bank", "iva incluida", "TAX ID: ABC-123456",
+      "Valid Thru: 12/28", "EXPIRY 01-01-2030", "expo line",
+      "surname: GARCÍA", "last name: O'BRIEN", "nom: DUPONT",
+      "metronom timing", "ADDRESS: 12 Long Street Name, City",
+      "address", "ACCOUNT NUMBER: GB82 WEST 1234 5698 7654 32",
+      "no 1234567 id X9878987", "DNI: 45678912Q", "IDENTIFIER",
+      "PAY PERIOD: March 2024", "for the month of April",
+      "FOR x", "periodic table", "İstanbul İĞİ", "place of birth: LIMA",
+      "BORN IN: OSLO", "amount outstanding: 99.10", "past due: 5.00",
+      "OPENING BALANCE: 100.00", "B/F: 20.00", "C/F: 30.00",
+      "CLOSING BALANCE: 80.00", "ISSUE DATE: 01/02/2023",
+      "date of issue: 03/04/2021", "fecha de emisión: 05/06/2020",
+      "SEX: M", "sexo: F", "CVV: 123", "cvc2: 9999",
+      "EMPLOYER: ACME GMBH", "company: Widgets Ltd", "GROSS PAY: 2,500.00",
+      "salary: £1,900.00", "STATEMENT PERIOD FROM: 01/01/2024",
+      "desde: 02/02/2024", "nationality: ESP", "NATIONALITÉ: FRA",
+      "\n", " ", "....", "1234 5678 9012 3456")
+    val allPatternLists =
+      FieldExtractor.FieldDefinitions.values.flatten.map(_.patterns).toSet
+    val r = new scala.util.Random(2026)
+    for (round <- 0 until 400) {
+      val n = 1 + r.nextInt(8)
+      val text = (0 until n).map { _ =>
+        val f = fragments(r.nextInt(fragments.length))
+        if (r.nextBoolean()) f else if (r.nextBoolean()) f.toUpperCase else f.toLowerCase
+      }.mkString(if (r.nextBoolean()) " " else "\n")
+      val lower = text.toLowerCase
+      for (patterns <- allPatternLists) {
+        val fast = FieldExtractor.tryPatternsLower(text, lower, patterns,
+          graft.text.maxDigitRun(text))
+        val ref = FieldExtractor.tryPatternsNoAnchor(text, lower, patterns)
+        assert(fast == ref,
+          s"round=$round patterns=${patterns.head.pattern.pattern()} text='$text'")
+      }
+    }
+  }
+
   test("property: maskPan preserves last 4 and hides the rest") {
     val panGen = Gen.chooseNum(13, 19).flatMap(n =>
       Gen.listOfN(n, Gen.numChar).map(_.mkString))
