@@ -249,7 +249,13 @@ object Bench {
     val ratePeak = docsPeak / secPeak
     val gbPeak = bytesPeak / 1e9 / secPeak
     val efficiency = rate4N / (4.0 * rateN)
-    val efficiencyMed = rate4NMed / (4.0 * math.max(rateNMed, 1e-9))
+    // median of PER-ROUND efficiencies: each round pairs temporally
+    // adjacent N/4N samples, so slow machine epochs hit both levels of a
+    // round together instead of skewing the ratio of cross-round medians
+    val efficiencyMed = median(
+      roundRates4N.zip(roundRatesN).map { case (r4, r1) =>
+        r4 / (4.0 * math.max(r1, 1e-9))
+      }.toSeq)
     val ceiling = aluCeiling(nCores, cores4N)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
