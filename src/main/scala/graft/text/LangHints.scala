@@ -14,26 +14,27 @@ object LangHints {
     Pattern.UNICODE_CHARACTER_CLASS
   private def p(re: String) = Pattern.compile(re, F)
 
-  // Each hint carries lowercase gate literals: a cheap necessary
-  // condition checked on the lowercased text before running the regex
-  // (pure pruning — identical first-match-by-hint-order semantics).
-  private val Hints: List[(Pattern, List[String], String, String)] = List(
-    (p("\\b(cpf|cnpj|rg)\\b"), List("cpf", "cnpj", "rg"), "pt", "BR"),
-    (p("\\b(rfc|curp|ine)\\b"), List("rfc", "curp", "ine"), "es", "MX"),
-    (p("\\b(dni|nie)\\b"), List("dni", "nie"), "es", "ES"),
-    (p("\\b(ced[uú]la)\\b"), List("cedula", "cedúla"), "es", "CO"),
+  // Each hint is a word-literal alternation: evaluated exactly by
+  // WordAlts over the aligned lowercase copy (indexOf probes instead of
+  // a full regex scan per hint — the regex stays as the misalignment
+  // fallback and the fuzz-parity reference). First matching hint wins.
+  private val Hints: List[(Pattern, Array[Array[String]], String, String)] = List(
+    (p("\\b(cpf|cnpj|rg)\\b"), WordAlts.phrases("cpf|cnpj|rg"), "pt", "BR"),
+    (p("\\b(rfc|curp|ine)\\b"), WordAlts.phrases("rfc|curp|ine"), "es", "MX"),
+    (p("\\b(dni|nie)\\b"), WordAlts.phrases("dni|nie"), "es", "ES"),
+    (p("\\b(ced[uú]la)\\b"), WordAlts.phrases("cedula|cedúla"), "es", "CO"),
     (p("\\b(apellido|nombre|fecha|número)\\b"),
-      List("apellido", "nombre", "fecha", "número"), "es", ""),
+      WordAlts.phrases("apellido|nombre|fecha|número"), "es", ""),
     (p("\\b(nom|prénom|date\\s+de\\s+naissance)\\b"),
-      List("nom", "prénom", "naissance"), "fr", "FR"),
+      WordAlts.phrases("nom|prénom|date de naissance"), "fr", "FR"),
     (p("\\b(vorname|nachname|geburtsdatum)\\b"),
-      List("vorname", "nachname", "geburtsdatum"), "de", "DE"),
+      WordAlts.phrases("vorname|nachname|geburtsdatum"), "de", "DE"),
     (p("\\b(nome|data\\s+di\\s+nascita)\\b"),
-      List("nome", "nascita"), "it", "IT"),
+      WordAlts.phrases("nome|data di nascita"), "it", "IT"),
     (p("\\b(national\\s+insurance|ni\\s+number)\\b"),
-      List("insurance", "number"), "en", "GB"),
+      WordAlts.phrases("national insurance|ni number"), "en", "GB"),
     (p("\\b(social\\s+security|ssn)\\b"),
-      List("security", "ssn"), "en", "US"))
+      WordAlts.phrases("social security|ssn"), "en", "US"))
 
   /** Returns (language_code, country_code); country may be "". */
   def detect(text: String): (String, String) = {
@@ -43,10 +44,20 @@ object LangHints {
 
   /** detect() with a caller-provided lowercase copy. */
   def detectLower(t: String, lower: String): (String, String) = {
+    val aligned = lower.length == t.length
     Hints.collectFirst {
-      case (pat, gates, lang, country)
-          if gates.exists(lower.contains) && pat.matcher(t).find() =>
+      case (pat, alts, lang, country)
+          if (if (aligned) WordAlts.has(lower, alts)
+              else pat.matcher(t).find()) =>
         (lang, country)
     }.getOrElse(("en", ""))
   }
+
+  /** Regex-only reference path (fuzz-parity baseline in ScoringSpec). */
+  private[text] def detectLowerReference(t: String,
+      lower: String): (String, String) =
+    Hints.collectFirst {
+      case (pat, _, lang, country) if pat.matcher(t).find() =>
+        (lang, country)
+    }.getOrElse(("en", ""))
 }

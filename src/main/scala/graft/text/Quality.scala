@@ -36,6 +36,61 @@ object Quality {
   private def has(p: java.util.regex.Pattern, s: String): Boolean =
     p.matcher(s).find()
 
+  // ---- fast exact twins of the word-alternation `has` checks ----------
+  // (WordAlts probes indexOf positions instead of a full regex scan; the
+  // Pattern stays as the fallback for case-misaligned text and as the
+  // fuzz-parity reference in ScoringSpec)
+  // literals(): inner spaces in these regexes are literal single spaces
+  private val merchantAlts = WordAlts.literals(
+    "store|market|shop|merchant|invoice|receipt")
+  private val totalAlts = WordAlts.literals("total|amount due|grand total")
+  private val nameAlts = WordAlts.literals("name")
+  private val addressAlts = WordAlts.literals("address")
+  private val idAlts = WordAlts.literals("id|passport|dni|ssn|tax id")
+  // `iban:` is subsumed by `iban` for existence (same start, \b after n)
+  private val accountAlts = WordAlts.literals("acct|account|iban|clabe")
+
+  private def hasW(lower: String, alts: Array[Array[String]],
+      p: java.util.regex.Pattern, text: String, aligned: Boolean): Boolean =
+    if (aligned) WordAlts.has(lower, alts) else has(p, text)
+
+  /** Necessary condition for [[dateLike]]/[[txnLike]]: a digit directly
+    * followed by '/' or '-' and another digit. One cheap pass. */
+  private def hasDateShape(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i + 2 < n) {
+      if (isPyDigit(s.charAt(i))) { // \d is Unicode under this flag set
+        val sep = s.charAt(i + 1)
+        if ((sep == '/' || sep == '-') && isPyDigit(s.charAt(i + 2)))
+          return true
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** Necessary condition for [[currency]]: one of its leading tokens. */
+  private def hasCurrencyToken(lower: String): Boolean =
+    lower.indexOf('$') >= 0 || lower.indexOf('€') >= 0 ||
+      lower.contains("usd") || lower.contains("eur") ||
+      lower.contains("gbp") || lower.contains("mxn") || lower.contains("cop")
+
+  // test hooks: (fast word-alt table, regex it must equal) + the
+  // necessary-condition gates vs the regexes they guard — ScoringSpec
+  // fuzz-asserts both directions
+  private[text] def wordAltParityCases
+      : Seq[(Array[Array[String]], java.util.regex.Pattern)] = Seq(
+    merchantAlts -> merchantLike, totalAlts -> totalLike,
+    nameAlts -> nameWord, addressAlts -> addressWord,
+    idAlts -> idLike, accountAlts -> accountLike)
+  private[text] def dateShapeGate(s: String): Boolean = hasDateShape(s)
+  private[text] def currencyGate(lower: String): Boolean =
+    hasCurrencyToken(lower)
+  private[text] def dateLikePattern: java.util.regex.Pattern = dateLike
+  private[text] def txnLikePattern: java.util.regex.Pattern = txnLike
+  private[text] def currencyPattern: java.util.regex.Pattern = currency
+
   private def alnumRatio(text: String): Double = {
     if (text.isEmpty) return 0.0
     var n = 0; var i = 0
@@ -54,22 +109,24 @@ object Quality {
     n.toDouble / math.max(text.length, 1)
   }
 
-  private def bankStatementHits(text: String): Int =
-    (if (has(accountLike, text)) 1 else 0) +
-      (if (countMatches(currency, text) >= 2) 1 else 0) +
-      (if (countMatches(txnLike, text) >= 3) 1 else 0)
+  private def bankStatementHits(text: String, lower: String,
+      aligned: Boolean): Int =
+    (if (hasW(lower, accountAlts, accountLike, text, aligned)) 1 else 0) +
+      (if (hasCurrencyToken(lower) && countMatches(currency, text) >= 2) 1 else 0) +
+      (if (hasDateShape(text) && countMatches(txnLike, text) >= 3) 1 else 0)
 
-  private def kycHits(text: String): Int =
-    (if (has(nameWord, text)) 1 else 0) +
-      (if (has(dateLike, text)) 1 else 0) +
-      (if (has(addressWord, text)) 1 else 0) +
-      (if (has(idLike, text)) 1 else 0)
+  private def kycHits(text: String, lower: String, aligned: Boolean): Int =
+    (if (hasW(lower, nameAlts, nameWord, text, aligned)) 1 else 0) +
+      (if (hasDateShape(text) && has(dateLike, text)) 1 else 0) +
+      (if (hasW(lower, addressAlts, addressWord, text, aligned)) 1 else 0) +
+      (if (hasW(lower, idAlts, idLike, text, aligned)) 1 else 0)
 
-  private def receiptHits(text: String): Int =
-    (if (has(merchantLike, text)) 1 else 0) +
-      (if (has(dateLike, text)) 1 else 0) +
-      (if (has(totalLike, text)) 1 else 0) +
-      (if (has(currency, text)) 1 else 0)
+  private def receiptHits(text: String, lower: String,
+      aligned: Boolean): Int =
+    (if (hasW(lower, merchantAlts, merchantLike, text, aligned)) 1 else 0) +
+      (if (hasDateShape(text) && has(dateLike, text)) 1 else 0) +
+      (if (hasW(lower, totalAlts, totalLike, text, aligned)) 1 else 0) +
+      (if (hasCurrencyToken(lower) && has(currency, text)) 1 else 0)
 
   def evaluate(rawText: String, documentType: String): QualityResult = {
     // Python str.strip() semantics (Unicode whitespace), see pyStrip
@@ -88,18 +145,23 @@ object Quality {
     val docType =
       (if (documentType == null) "other" else documentType).toLowerCase.trim
     // doc-type signal bonuses, open_source_ocr_stack.py:119-147
-    if (docType == "bank_statement") {
-      val hits = bankStatementHits(text)
-      if (hits < 2) reasons += "BANK_STATEMENT_SIGNALS_WEAK"
-      score = math.min(1.0, score + 0.12 * hits)
-    } else if (docType == "loan_application" || docType == "kyc_form") {
-      val hits = kycHits(text)
-      if (hits < 2) reasons += "KYC_SIGNALS_WEAK"
-      score = math.min(1.0, score + 0.10 * hits)
-    } else if (docType == "receipt" || docType == "invoice") {
-      val hits = receiptHits(text)
-      if (hits < 2) reasons += "RECEIPT_SIGNALS_WEAK"
-      score = math.min(1.0, score + 0.09 * hits)
+    if (docType == "bank_statement" || docType == "loan_application" ||
+        docType == "kyc_form" || docType == "receipt" || docType == "invoice") {
+      val lower = text.toLowerCase
+      val aligned = lower.length == text.length
+      if (docType == "bank_statement") {
+        val hits = bankStatementHits(text, lower, aligned)
+        if (hits < 2) reasons += "BANK_STATEMENT_SIGNALS_WEAK"
+        score = math.min(1.0, score + 0.12 * hits)
+      } else if (docType == "receipt" || docType == "invoice") {
+        val hits = receiptHits(text, lower, aligned)
+        if (hits < 2) reasons += "RECEIPT_SIGNALS_WEAK"
+        score = math.min(1.0, score + 0.09 * hits)
+      } else {
+        val hits = kycHits(text, lower, aligned)
+        if (hits < 2) reasons += "KYC_SIGNALS_WEAK"
+        score = math.min(1.0, score + 0.10 * hits)
+      }
     }
 
     if (printable < 0.85) reasons += "LOW_PRINTABLE_RATIO"

@@ -220,4 +220,46 @@ class ScoringSpec extends AnyFunSuite {
       Some("$15.00"))
     assert(Normalizer.firstMatch("none", "xyz") == None)
   }
+
+  test("WordAlts.has == word-alternation regex (fuzz) + gates necessary") {
+    val fragments = Array(
+      "Total: 42.00", "subtotal", "TOTAL", "amount due", "amount  due",
+      "amount\tdue", "amountdue", "grand total", "grand-total", "GRAND\nTOTAL",
+      "store", "restored", "megastore", "shop!", "merchant:", "invoice#12",
+      "receipt", "receipts", "name", "names", "surname", "address", "ADDRESSEE",
+      "id", "idx", "valid", "passport", "dni", "ssn", "tax id", "tax  id",
+      "taxid", "acct", "account", "IBAN: GB00", "iban", "clabe", "ibanx",
+      "USD 100", "eur 5,00", "€9", "$5.00", "gbp", "copper", "mxn 12",
+      "12/05/1990", "1-2-34", "9/9", "x/y", "5-a", "—", "über",
+      "nom", "prénom", "date de naissance", "date  de  naissance",
+      "date de", "national insurance", "ni number", "ni\tnumber",
+      "social security", "vorname", "geburtsdatum", "nome",
+      "data di nascita", "cedula", "cedúla", "número", "fecha",
+      "İĞİ İstanbul", "a1 b2", "", "\n\n")
+    val r = new scala.util.Random(7)
+    val cases = Quality.wordAltParityCases
+    for (round <- 0 until 500) {
+      val text = (0 until 1 + r.nextInt(6)).map { _ =>
+        val f = fragments(r.nextInt(fragments.length))
+        if (r.nextBoolean()) f
+        else if (r.nextBoolean()) f.toUpperCase else f.toLowerCase
+      }.mkString(if (r.nextBoolean()) " " else if (r.nextBoolean()) "\n" else "x")
+      val lower = text.toLowerCase
+      if (lower.length == text.length) {
+        for ((alts, pat) <- cases) {
+          assert(WordAlts.has(lower, alts) == pat.matcher(text).find(),
+            s"round=$round pattern=${pat.pattern()} text='$text'")
+        }
+        // LangHints full-path parity (fast path vs regex-only reference)
+        assert(LangHints.detectLower(text, lower) ==
+          LangHints.detectLowerReference(text, lower), s"langhints '$text'")
+      }
+      // necessary-condition gates can only prune true negatives
+      if (Quality.dateLikePattern.matcher(text).find() ||
+          Quality.txnLikePattern.matcher(text).find())
+        assert(Quality.dateShapeGate(text), s"date gate pruned a match '$text'")
+      if (Quality.currencyPattern.matcher(text).find())
+        assert(Quality.currencyGate(lower), s"currency gate pruned '$text'")
+    }
+  }
 }
