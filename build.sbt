@@ -26,6 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: the round-3 kernel pushes ~3 GB/s of encoder/synth allocation
+  // at 16+ cores — an 8g heap forced minor GCs every ~1s and showed up
+  // as 6-10% GC wall at exactly the parallelism the scaling bench
+  // measures (the box has 128 GiB; executors on a real cluster size
+  // their own heaps)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   sys.env.getOrElse("SPARK_GRAFT_GC", "-XX:+UseParallelGC"),
 )

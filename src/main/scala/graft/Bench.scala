@@ -27,17 +27,24 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    // Shuffle profile for the scaling measurement: on this single box the
-    // default disk-backed compressed shuffle serializes the 4N run behind
-    // one device + lz4 CPU (ScalingProbe showed full≈no-shuffle once
-    // removed). tmpfs local dirs + no compression is the local analog of
-    // a cluster's fast NVMe shuffle volumes.
+    // Shuffle profile for the scaling measurement: tmpfs local dirs (the
+    // local analog of a cluster's fast NVMe shuffle volumes) + zstd
+    // shuffle compression. Round 2 ran compression OFF because the lz4
+    // CPU serialized the then-CPU-bound 4N run; the round-3 kernel is
+    // ~3× cheaper per doc, so the shuffle is bandwidth-bound and
+    // compression now WINS at both levels (A/B'd via ScalingProbe:
+    // 16-core full 16.7k → 19.6-22.4k docs/s; 4-core neutral-to-better).
     val shm = new java.io.File("/dev/shm")
-    if (shm.isDirectory && shm.canWrite) {
+    if (shm.isDirectory && shm.canWrite)
       b.config("spark.local.dir", "/dev/shm/graft-bench")
-      b.config("spark.shuffle.compress", "false")
-      b.config("spark.shuffle.spill.compress", "false")
-    }
+    b.config("spark.shuffle.compress", "true")
+    b.config("spark.io.compression.codec", "zstd")
+    // larger shuffle write/read buffers: fewer syscalls per MB — at 16
+    // concurrent cores the default 32k write buffer was measurable
+    // contention (A/B: 16-core full 20 → 24.5k docs/s; 4-core neutral)
+    b.config("spark.shuffle.file.buffer", "1m")
+    b.config("spark.shuffle.unsafe.file.output.buffer", "4m")
+    b.config("spark.reducer.maxSizeInFlight", "128m")
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -156,7 +163,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "80000").toLong
+    // 240k default: after the round-3 kernel work the 80k corpus ran in
+    // ~2.4 s at 4N — too short for the min-subtraction windows to beat
+    // scheduler/steal noise; 3× keeps each timed window in whole seconds
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "240000").toLong
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "full")
 
@@ -197,7 +207,10 @@ object Bench {
     // approximates the unthrottled rate at each level. At least 3 rounds
     // (so min AND median are both meaningful — one steal episode can't
     // set the headline), then as many more as fit in the budget.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "250").toInt
+    // 330 s fits ≥4 interleaved rounds at the 240k-page corpus (~95 s per
+    // round) — one throttle episode on this shared VM can then never set
+    // more than a quarter of the samples
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "330").toInt
     var minFull4N = Double.MaxValue
     var minHalf4N = Double.MaxValue
     var minFullN = Double.MaxValue
