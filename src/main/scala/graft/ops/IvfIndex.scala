@@ -269,11 +269,15 @@ object IvfIndex {
     // via cellDrops
     val wKey = Window.partitionBy(col("ckey"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    // ids only past this point: the probe fan-out (×replicas index rows,
+    // ×nprobe·subProbe query rows) and the candidate join must not carry
+    // the vectors — pairs are deduped as two longs and the embeddings
+    // join back once per side (Catalyst picks broadcast vs shuffled hash
+    // join by corpus size)
     val candidates = keyedCandidates(assigned, subCents)
       .withColumn("rn", row_number().over(wKey))
       .filter(col("rn") <= cellCap)
-      .select(col("ckey"), col("vec_id").as("neighbor_id"),
-        col("embedding").as("neighbor_emb"))
+      .select(col("ckey"), col("vec_id").as("neighbor_id"))
     val probeUdf = udf((v: Seq[Float]) => {
       val coarse = nearestCells(centroids, v, nprobe)
       val out = Array.newBuilder[Long]
@@ -293,17 +297,19 @@ object IvfIndex {
     })
     val queries = corpus
       .select(col("vec_id").as("query_id"),
-        col("embedding").as("query_emb"),
         explode(probeUdf(col("embedding"))).as("ckey"))
+    val pairs = queries.join(candidates, Seq("ckey"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id") // ×replicas/probes sightings
+    val embQ = corpus.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    val embN = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("neighbor_emb"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    queries.join(candidates, Seq("ckey"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      // cosine BEFORE the pair dedup (cheap expression vs shuffling
-      // embedding-carrying rows through dropDuplicates)
+    pairs.join(embQ, Seq("query_id")).join(embN, Seq("neighbor_id"))
       .withColumn("cos", Similarity.cosineFast(col("query_emb"), col("neighbor_emb")))
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))

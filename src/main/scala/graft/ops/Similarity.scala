@@ -140,27 +140,50 @@ object Similarity {
     corpus.withColumn("bucket", lshUdf(col("embedding")))
   }
 
+  /** Distinct candidate id pairs from the multi-table index: the
+    * embedding is dropped BEFORE the bucket self-join, so the ×tables
+    * fan-out and the join shuffle carry (bucket, id) rows only, and a
+    * pair seen in ≤`tables` buckets is deduped while it is still two
+    * longs. With 24 recall-first tables, carrying the vector through the
+    * explode would dominate shuffle bytes at any scale (≈ tables × dim ×
+    * 4 B per row); the two id→embedding join-backs that replace it let
+    * Catalyst pick broadcast (small corpus) or shuffled hash join
+    * (10^12 rows) per side. `symmetric = false` keeps only a < b. */
+  private def candidatePairs(corpus: DataFrame, signBits: Int, tables: Int,
+      knownN: Long, symmetric: Boolean): DataFrame = {
+    val ids = lshTables(corpus.select(col("vec_id"), col("embedding")),
+      signBits, tables, knownN)
+      .select(col("bucket"), col("vec_id"))
+    val left = ids.select(col("bucket"), col("vec_id").as("a"))
+    val right = ids.select(col("bucket"), col("vec_id").as("b"))
+    val cond = if (symmetric) col("a") =!= col("b") else col("a") < col("b")
+    left.join(right, Seq("bucket"))
+      .filter(cond)
+      .select(col("a"), col("b"))
+      .dropDuplicates("a", "b") // pair found in ≤tables buckets
+  }
+
+  /** Join both embeddings back onto an id-pair table. */
+  private def withEmbeddings(pairs: DataFrame, corpus: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val embA = corpus.select(col("vec_id").as(aCol), col("embedding").as("emb_a"))
+    val embB = corpus.select(col("vec_id").as(bCol), col("embedding").as("emb_b"))
+    pairs.join(embA, Seq(aCol)).join(embB, Seq(bCol))
+  }
+
   /** ANN top-k: candidates share ANY table's bucket; exact cosine inside.
     * Recall < 1 by construction (scale path; the brute baseline is the
     * correctness reference — OpsSpec asserts recall ≥ 0.9 against it). */
   def lshCosineTopK(corpus: DataFrame, k: Int, signBits: Int = -1,
       tables: Int = DefaultTables, knownN: Long = -1L): DataFrame = {
-    val b = lshTables(corpus, signBits, tables, knownN)
-    val left = b.select(col("bucket"), col("vec_id").as("query_id"),
-      col("embedding").as("query_emb"))
-    val right = b.select(col("bucket"), col("vec_id").as("neighbor_id"),
-      col("embedding").as("neighbor_emb"))
+    val pairs = candidatePairs(corpus, signBits, tables, knownN,
+      symmetric = true)
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    left.join(right, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      // cosine BEFORE the pair dedup: the expression is ~1 µs/pair, so
-      // recomputing it for the ≤T duplicate sightings is far cheaper
-      // than shuffling embedding-carrying rows through dropDuplicates
-      .withColumn("cos", cosineFast(col("query_emb"), col("neighbor_emb")))
-      .select(col("query_id"), col("neighbor_id"), col("cos"))
-      .dropDuplicates("query_id", "neighbor_id") // pair found in ≤T tables
+    withEmbeddings(pairs, corpus, "query_id", "neighbor_id")
+      .withColumn("cos", cosineFast(col("emb_a"), col("emb_b")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -172,17 +195,12 @@ object Similarity {
   def cosineNearDups(corpus: DataFrame, threshold: Double,
       signBits: Int = -1, tables: Int = DefaultTables,
       knownN: Long = -1L): DataFrame = {
-    val b = lshTables(corpus, signBits, tables, knownN)
-    val left = b.select(col("bucket"), col("vec_id").as("a"),
-      col("embedding").as("emb_a"))
-    val right = b.select(col("bucket"), col("vec_id").as("b"),
-      col("embedding").as("emb_b"))
-    left.join(right, Seq("bucket"))
-      .filter(col("a") < col("b"))
+    val pairs = candidatePairs(corpus, signBits, tables, knownN,
+      symmetric = false)
+    withEmbeddings(pairs, corpus, "a", "b")
       .withColumn("cos", cosineFast(col("emb_a"), col("emb_b")))
-      .filter(col("cos") >= threshold) // verify before dedup: fewer rows
+      .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
-      .dropDuplicates("a", "b")
   }
 }
 
