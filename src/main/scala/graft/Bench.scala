@@ -160,6 +160,13 @@ object Bench {
       graft.ops.IvfIndex.cellDrops(emb, graft.ops.IvfIndex.train(emb))
     } catch { case _: Throwable => -1L }
 
+  /** LSH bucket-cap drop accounting at the shipped operating point. */
+  private def lshDrops(spark: SparkSession, sfDir: String): Long =
+    try {
+      graft.ops.Similarity.lshBucketDrops(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -179,6 +186,7 @@ object Bench {
     var results = Seq.empty[(String, Double)]
     var recalls = Map.empty[String, Double]
     var drops = -1L
+    var lshDropCount = -1L
     if (mode != "extract") {
       ordered.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
@@ -190,6 +198,7 @@ object Bench {
       }
       recalls = annRecalls(spark, sfDir)
       drops = ivfDrops(spark, sfDir)
+      lshDropCount = lshDrops(spark, sfDir)
     }
     spark.stop()
 
@@ -278,11 +287,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"ivf_cell_drops":$drops,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
 
     writeBenchBaseline(sfDir, total, results, nPages, nCores, cores4N, cpus,
       rateN, rate4N, ratePeak, gbPeak, efficiency, ceiling, recalls,
-      round, rateNMed, rate4NMed, efficiencyMed, drops)
+      round, rateNMed, rate4NMed, efficiencyMed, drops, lshDropCount)
   }
 
   private def writeBenchBaseline(
@@ -291,7 +300,7 @@ object Bench {
       rateN: Double, rate4N: Double, ratePeak: Double, gb: Double,
       eff: Double, ceiling: Double, recalls: Map[String, Double],
       rounds: Int, rateNMed: Double, rate4NMed: Double,
-      effMed: Double, drops: Long): Unit = {
+      effMed: Double, drops: Long, lshDropCount: Long): Unit = {
     val md = new StringBuilder
     md ++= "# BENCH — measured throughput (this sandbox)\n\n"
     md ++= "Generated by `graft.Bench` from the same run that produced the "
@@ -342,7 +351,9 @@ object Bench {
       md ++= "to the recall-first points.\n\n"
       md ++= s"IVF hot-cell drops at the shipped operating point: $drops "
       md ++= "(two-level sub-quantization splits hot cells instead of "
-      md ++= "dropping members).\n\n"
+      md ++= "dropping members); LSH bucket-cap drops: "
+      md ++= s"$lshDropCount (byte-identical floods collapse in the "
+      md ++= "exact pre-pass before the cap can bind).\n\n"
     }
     md ++= f"## Query timings (local[$peakCores], `$sfDir`)\n\n"
     md ++= "| query | sec |\n|---|---|\n"

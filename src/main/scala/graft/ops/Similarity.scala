@@ -140,6 +140,30 @@ object Similarity {
     corpus.withColumn("bucket", lshUdf(col("embedding")))
   }
 
+  /** Per-(table, bucket) population cap — the cosine twin of
+    * [[Dedup.DefaultBucketCap]]: a 100 TB corpus carries floods of
+    * (near-)identical embeddings that land in the same sign bucket of
+    * EVERY table; without a cap one bucket yields O(m²) pairs.
+    * Byte-identical vectors are collapsed by the exact pre-pass first,
+    * so the cap only bounds residual near-identical floods (survivors
+    * are a deterministic hash-ordered sample; [[lshBucketDrops]]
+    * accounts what the cap discarded — reported by the bench, never a
+    * silent truncation). */
+  val DefaultBucketCap = 10000
+
+  private def cappedIds(corpus: DataFrame, signBits: Int, tables: Int,
+      knownN: Long, bucketCap: Int): DataFrame = {
+    val ids = lshTables(corpus.select(col("vec_id"), col("embedding")),
+      signBits, tables, knownN)
+      .select(col("bucket"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    ids.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= bucketCap)
+      .drop("rn")
+  }
+
   /** Distinct candidate id pairs from the multi-table index: the
     * embedding is dropped BEFORE the bucket self-join, so the ×tables
     * fan-out and the join shuffle carry (bucket, id) rows only, and a
@@ -150,10 +174,8 @@ object Similarity {
     * Catalyst pick broadcast (small corpus) or shuffled hash join
     * (10^12 rows) per side. `symmetric = false` keeps only a < b. */
   private def candidatePairs(corpus: DataFrame, signBits: Int, tables: Int,
-      knownN: Long, symmetric: Boolean): DataFrame = {
-    val ids = lshTables(corpus.select(col("vec_id"), col("embedding")),
-      signBits, tables, knownN)
-      .select(col("bucket"), col("vec_id"))
+      knownN: Long, symmetric: Boolean, bucketCap: Int): DataFrame = {
+    val ids = cappedIds(corpus, signBits, tables, knownN, bucketCap)
     val left = ids.select(col("bucket"), col("vec_id").as("a"))
     val right = ids.select(col("bucket"), col("vec_id").as("b"))
     val cond = if (symmetric) col("a") =!= col("b") else col("a") < col("b")
@@ -162,6 +184,27 @@ object Similarity {
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b") // pair found in ≤tables buckets
   }
+
+  /** Rows dropped by `bucketCap` across all tables (hot-bucket
+    * accounting for the bench). */
+  def lshBucketDrops(corpus: DataFrame, signBits: Int = -1,
+      tables: Int = DefaultTables, knownN: Long = -1L,
+      bucketCap: Int = DefaultBucketCap): Long =
+    lshTables(corpus.select(col("vec_id"), col("embedding")),
+      signBits, tables, knownN)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(greatest(col("n") - bucketCap, lit(0L))), lit(0L)))
+      .collect()(0).getLong(0)
+
+  /** Representatives after collapsing byte-identical embeddings (min
+    * vec_id keeps) — the cosine twin of [[Dedup.exactSurvivors]]: mass
+    * duplicate vectors are the EXACT-dedup operator's output, not
+    * near-dup pairs, and collapsing them first is what makes the LSH
+    * bucket population survivable at 100 TB. */
+  def exactEmbSurvivors(corpus: DataFrame): DataFrame =
+    corpus.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("embedding"))
 
   /** Join both embeddings back onto an id-pair table. */
   private def withEmbeddings(pairs: DataFrame, corpus: DataFrame,
@@ -175,9 +218,10 @@ object Similarity {
     * Recall < 1 by construction (scale path; the brute baseline is the
     * correctness reference — OpsSpec asserts recall ≥ 0.9 against it). */
   def lshCosineTopK(corpus: DataFrame, k: Int, signBits: Int = -1,
-      tables: Int = DefaultTables, knownN: Long = -1L): DataFrame = {
+      tables: Int = DefaultTables, knownN: Long = -1L,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     val pairs = candidatePairs(corpus, signBits, tables, knownN,
-      symmetric = true)
+      symmetric = true, bucketCap)
       .select(col("a").as("query_id"), col("b").as("neighbor_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -194,10 +238,15 @@ object Similarity {
     * with corpus size (see `signBitsFor`). */
   def cosineNearDups(corpus: DataFrame, threshold: Double,
       signBits: Int = -1, tables: Int = DefaultTables,
-      knownN: Long = -1L): DataFrame = {
-    val pairs = candidatePairs(corpus, signBits, tables, knownN,
-      symmetric = false)
-    withEmbeddings(pairs, corpus, "a", "b")
+      knownN: Long = -1L, exactPrepass: Boolean = true,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    // mass byte-identical embeddings collapse to one representative
+    // BEFORE bucketing (they are exact-dedup output, not near-dup
+    // pairs) — same defusal as minhashNearDups' exact pre-pass
+    val base = if (exactPrepass) exactEmbSurvivors(corpus) else corpus
+    val pairs = candidatePairs(base, signBits, tables, knownN,
+      symmetric = false, bucketCap)
+    withEmbeddings(pairs, base, "a", "b")
       .withColumn("cos", cosineFast(col("emb_a"), col("emb_b")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))

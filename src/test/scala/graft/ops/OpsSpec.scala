@@ -134,6 +134,30 @@ class OpsSpec extends AnyFunSuite {
     assert(dups.contains((1L, 2L)))
   }
 
+  test("cosine LSH hot-bucket flood: exact pre-pass + cap bound the pairs") {
+    // 2000 byte-identical embeddings land in the same bucket of EVERY
+    // table — the exact pre-pass collapses them to one representative
+    // (mass dups are exact-dedup output, not near-dup pairs)
+    val v = Seq.tabulate(16)(d => (d + 1).toFloat / 16)
+    val flood = (0L until 2000L).map(i => (i, v)).toDF("vec_id", "embedding")
+    assert(Similarity.cosineNearDups(flood, 0.9).count() == 0L)
+    assert(Similarity.exactEmbSurvivors(flood).count() == 1L)
+    // with the pre-pass off, the bucket cap bounds the candidate pairs
+    // to C(cap,2) survivors and the drops are accounted, not silent
+    val capped = Similarity.cosineNearDups(flood, 0.9,
+      exactPrepass = false, bucketCap = 10)
+    assert(capped.count() == 45L, s"got ${capped.count()}") // C(10,2)
+    val drops = Similarity.lshBucketDrops(flood, bucketCap = 10)
+    assert(drops > 0L)
+    // near-identical (not byte-identical) flood: pre-pass can't collapse,
+    // cap still bounds the blow-up
+    val jitter = (0L until 1500L).map(i =>
+      (i, v.updated(0, v(0) * (1.0f + i * 1e-7f))))
+      .toDF("vec_id", "embedding")
+    val bounded = Similarity.cosineNearDups(jitter, 0.9, bucketCap = 20)
+    assert(bounded.count() == 190L) // C(20,2)
+  }
+
   test("language id on real phrases") {
     assert(LangIdKernel.detect(
       "the cat is on the mat and the dog was not with you") == "en")
