@@ -138,15 +138,34 @@ object IvfIndex {
   def cellsFor(n: Long): Int =
     math.min(MaxCells, math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt))
 
+  /** Training-sample multiplier: Lloyd iterations run on a deterministic
+    * hash-sample of ≈`TrainPointsPerCell × k` vectors, not the full
+    * corpus — at 10^12 rows a full-corpus k-means pass per iteration is
+    * the wrong shape (coarse-quantizer practice is to train on a bounded
+    * sample; 50+ points per cell is ample for 2 refinement rounds).
+    * Corpora at or below the cap train on everything (no behavior change
+    * at oracle/bench scale). */
+  val TrainPointsPerCell = 64
+
   /** Lloyd training: deterministic seeds (k lowest vec_ids), then `iters`
-    * assign→mean rounds. k ≤ 0 → ⌈√n⌉. Cells that lose all members keep
-    * their previous centroid (stable ids, no collapse). */
+    * assign→mean rounds over a hash-bounded training sample. k ≤ 0 →
+    * ⌈√n⌉. Cells that lose all members keep their previous centroid
+    * (stable ids, no collapse). */
   def train(corpus: DataFrame, k: Int = -1,
       iters: Int = DefaultIters): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val kk = if (k > 0) k else cellsFor(corpus.count())
-    var centroids: Array[Array[Float]] = corpus
+    val n = corpus.count()
+    val kk = if (k > 0) k else cellsFor(n)
+    val sampleTarget = TrainPointsPerCell.toLong * kk
+    val trainSet =
+      if (n <= sampleTarget) corpus
+      else {
+        // deterministic hash-sample: keep ≈ sampleTarget vectors
+        val modulus = math.max(1L, n / sampleTarget)
+        corpus.filter(pmod(xxhash64(col("vec_id")), lit(modulus)) === 0L)
+      }
+    var centroids: Array[Array[Float]] = trainSet
       .orderBy(col("vec_id").asc).limit(kk)
       .select(col("embedding")).as[Seq[Float]]
       .collect().map(_.toArray)
@@ -158,7 +177,7 @@ object IvfIndex {
       val cents = centroids // stable reference for the closure
       val assignUdf = udf((v: Seq[Float]) => nearestCell(cents, v))
       val meanAgg = new VecMean(dim).toColumn
-      val means: Map[Int, Array[Float]] = corpus
+      val means: Map[Int, Array[Float]] = trainSet
         .withColumn("cell", assignUdf(col("embedding")))
         .groupByKey(r => r.getAs[Int]("cell"))(Encoders.scalaInt)
         .mapValues(r => r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)(

@@ -290,6 +290,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf trains on a bounded hash-sample above the cap; recall holds") {
+    // n=1500, k=5 → training cap 320 vectors: the Lloyd passes run on a
+    // ~21% deterministic sample, not the corpus — recall must survive
+    val emb = clusteredEmb(1500, 16, 5, seed = 43)
+    val centroids = IvfIndex.train(emb, k = 5)
+    assert(centroids.length == 5)
+    val r = recallVsBrute(emb, IvfIndex.topK(emb, centroids, k = 5), k = 5)
+    assert(r >= 0.9, s"sampled-training ivf recall $r")
+  }
+
   test("two-level ivf: hot cells split, members not dropped, recall holds") {
     // force hot cells: 600 vectors into 2 coarse cells with cellCap 100 —
     // single-level capping would discard ~5/6 of every cell's members
