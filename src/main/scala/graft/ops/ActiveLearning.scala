@@ -47,8 +47,12 @@ object ActiveLearning {
     * to `nSamples` from the remaining pool by uncertainty
     * (active_learning.py:82-91; topped-up rows keep their per-cluster
     * sel_rank, which exceeds perCluster), then truncation to `nSamples`
-    * (uncertainty desc, id desc — the same order the reference's
-    * final [:n_samples] slice follows). */
+    * in the reference's own list order — `selected_indices[:n_samples]`
+    * slices the cluster-major append (cluster 0's picks first, each
+    * cluster's picks in uncertainty-desc order, top-up picks appended
+    * last), so the truncation sorts (phase asc, cluster asc, sel_rank
+    * asc) and the selected SET matches the reference even when
+    * k > nSamples. */
   def sampleByEmbedding(pool: DataFrame, idCol: String, embCol: String,
       uncertaintyCol: String, nSamples: Int, nClusters: Int,
       topUp: Boolean = true): DataFrame = {
@@ -66,6 +70,7 @@ object ActiveLearning {
       .orderBy(col(uncertaintyCol).desc, col(idCol).desc)
     val ranked = clustered.withColumn("sel_rank", row_number().over(w))
     val base = ranked.filter(col("sel_rank") <= perCluster)
+      .withColumn("__phase", lit(0))
     val selected =
       if (!topUp) base
       else {
@@ -74,12 +79,21 @@ object ActiveLearning {
         else base.unionByName(
           ranked.filter(col("sel_rank") > perCluster)
             .orderBy(col(uncertaintyCol).desc, col(idCol).desc)
-            .limit((nSamples - nBase).toInt))
+            .limit((nSamples - nBase).toInt)
+            .withColumn("__phase", lit(1)))
       }
-    // truncate (k > nSamples ⇒ one per cluster already exceeds the ask);
-    // orderBy+limit is a distributed TakeOrdered, not a global sort
-    selected.orderBy(col(uncertaintyCol).desc, col(idCol).desc)
+    // truncate in the reference's selected_indices order: cluster-major
+    // base picks first (cluster asc, then that cluster's uncertainty-desc
+    // sel_rank), top-up picks after (uncertainty desc, id desc) —
+    // (cluster, sel_rank) is a total order within phase 0, so the
+    // [:n_samples] slice keeps exactly the reference's set; orderBy+limit
+    // is a distributed TakeOrdered, not a global sort
+    selected.orderBy(col("__phase").asc,
+      when(col("__phase") === 0, col("cluster")).otherwise(lit(0)).asc,
+      when(col("__phase") === 0, col("sel_rank")).otherwise(lit(0)).asc,
+      col(uncertaintyCol).desc, col(idCol).desc)
       .limit(nSamples)
+      .drop("__phase")
   }
 
   /** Quantile-clustered sampling — the scale path: cluster bounds come

@@ -49,14 +49,22 @@ object PdfParser {
     val cidDoc = objs.values.exists(o =>
       o.dict.contains("/Type0") || o.dict.contains("/Identity-H"))
     val toUni = if (cidDoc) parseToUnicode(objs) else Map.empty[Int, String]
-    val fonts = parseFontEncodings(objs)
-    val pageContents = pageContentStreams(objs)
-    val sources =
-      if (pageContents.nonEmpty) pageContents
-      else findStreams(bytes) // fallback: legacy stream order
+    val docFonts = parseFontEncodings(objs)
+    val pageContents = pageContentStreamsWithIds(objs)
+    // font tables are scoped PER PAGE (a page's /Resources may bind /F1
+    // to a simple font while another page's /F1 is a Type0 CID font —
+    // a document-wide first-binding-wins table would byte-decode that
+    // page's 2-byte CID strings into mojibake); pages without their own
+    // /Resources (inherited) fall back to the document-wide table
+    val sources: List[(String, Map[String, Array[String]])] =
+      if (pageContents.nonEmpty)
+        pageContents.map { case (num, s) =>
+          (s, pageFontEncodings(objs, num).getOrElse(docFonts))
+        }
+      else findStreams(bytes).map((_, docFonts)) // legacy stream order
     val pageTexts = List.newBuilder[String]
     var pageCount = 0
-    sources.foreach { s =>
+    sources.foreach { case (s, fonts) =>
       if (pageCount < MaxPages) {
         val runs = interpretContent(s, cidDoc, toUni, fonts)
         if (runs.nonEmpty) {
@@ -173,7 +181,13 @@ object PdfParser {
     java.util.regex.Pattern.compile("/Type\\s*/Pages(?![a-zA-Z])")
 
   /** One concatenated content-stream text per page, in page-tree order. */
-  private[pdf] def pageContentStreams(objs: Map[Int, PdfObj]): List[String] = {
+  private[pdf] def pageContentStreams(objs: Map[Int, PdfObj]): List[String] =
+    pageContentStreamsWithIds(objs).map(_._2)
+
+  /** (page object number, concatenated content) per page, page-tree
+    * order — the id lets the caller resolve per-page /Resources. */
+  private[pdf] def pageContentStreamsWithIds(
+      objs: Map[Int, PdfObj]): List[(Int, String)] = {
     if (objs.isEmpty) return Nil
     // roots: /Pages nodes not referenced as a Kid of another /Pages node
     val pagesNodes = objs.filter(o => typePages.matcher(o._2.dict).find())
@@ -204,7 +218,7 @@ object PdfParser {
       val contents = dictValue(pageObjs(n).dict, "/Contents")
         .map(refsIn).getOrElse(Nil)
       val parts = contents.flatMap(objs.get).flatMap(_.stream)
-      if (parts.isEmpty) None else Some(parts.mkString("\n"))
+      if (parts.isEmpty) None else Some((n, parts.mkString("\n")))
     }
   }
 
@@ -276,37 +290,77 @@ object PdfParser {
     }
   }
 
+  /** Resolve the value following `key` in `src` as a dict: inline
+    * `<< ... >>` or an indirect reference to one; "" when neither. */
+  private def dictAfterKey(objs: Map[Int, PdfObj], src: String,
+      keyEnd: Int): String = {
+    var j = keyEnd
+    while (j < src.length && Character.isWhitespace(src.charAt(j))) j += 1
+    if (j + 1 < src.length && src.charAt(j) == '<' && src.charAt(j + 1) == '<')
+      balancedDict(src, j)
+    else {
+      val tail = src.substring(j, math.min(src.length, j + 40))
+      val rm = refPattern.matcher(tail)
+      if (rm.lookingAt) objs.get(rm.group(1).toInt).map(_.dict).getOrElse("")
+      else ""
+    }
+  }
+
+  /** Scan `src` for /Font blocks (inline or indirect) and collect
+    * name → decode table for non-CID fonts declaring an /Encoding.
+    * First binding per name wins within `src`. */
+  private def fontsInDict(objs: Map[Int, PdfObj], src: String,
+      out: scala.collection.mutable.LinkedHashMap[String, Array[String]])
+      : Unit = {
+    var fi = src.indexOf("/Font")
+    while (fi >= 0) {
+      // "/FontDescriptor"/"/FontFile" never parse as a dict-or-ref value
+      val block = dictAfterKey(objs, src, fi + "/Font".length)
+      val em = fontEntry.matcher(block)
+      while (em.find()) {
+        val name = em.group(1)
+        if (!out.contains(name)) {
+          objs.get(em.group(2).toInt).foreach { fontObj =>
+            if (!fontObj.dict.contains("/Type0")) // CID handled via CMap
+              encodingTable(objs, fontObj.dict).foreach(out(name) = _)
+          }
+        }
+      }
+      fi = src.indexOf("/Font", fi + 5)
+    }
+  }
+
   /** Document-wide map: font resource name (the /F1 of `Tf`) → 256-entry
     * byte decode table, for non-CID fonts that declare an /Encoding.
-    * First binding per name wins (per-page resource scoping is rare in
-    * crawled docs; the table only refines byte decoding). */
+    * First binding per name wins. Used as the FALLBACK for pages without
+    * their own /Resources (inherited resources) and for the legacy
+    * stream-order path — pages that do declare /Resources get a
+    * page-scoped table from [[pageFontEncodings]] instead, so one page's
+    * simple-font /F1 can never shadow another page's Type0 /F1. */
   private[pdf] def parseFontEncodings(
       objs: Map[Int, PdfObj]): Map[String, Array[String]] = {
     if (!objs.values.exists(_.dict.contains("/Encoding"))) return Map.empty
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Array[String]]
     objs.toSeq.sortBy(_._1).foreach { case (_, o) =>
-      var fi = o.dict.indexOf("/Font")
-      while (fi >= 0) {
-        var j = fi + "/Font".length
-        while (j < o.dict.length && Character.isWhitespace(o.dict.charAt(j))) j += 1
-        if (j + 1 < o.dict.length && o.dict.charAt(j) == '<' &&
-          o.dict.charAt(j + 1) == '<') {
-          val block = balancedDict(o.dict, j)
-          val em = fontEntry.matcher(block)
-          while (em.find()) {
-            val name = em.group(1)
-            if (!out.contains(name)) {
-              objs.get(em.group(2).toInt).foreach { fontObj =>
-                if (!fontObj.dict.contains("/Type0")) // CID handled via CMap
-                  encodingTable(objs, fontObj.dict).foreach(out(name) = _)
-              }
-            }
-          }
-        }
-        fi = o.dict.indexOf("/Font", fi + 5)
-      }
+      fontsInDict(objs, o.dict, out)
     }
     out.toMap
+  }
+
+  /** Page-scoped font tables from the page object's own /Resources
+    * (inline or indirect); None when the page declares none (resources
+    * inherited from an ancestor /Pages node — caller falls back to the
+    * document-wide table). */
+  private[pdf] def pageFontEncodings(objs: Map[Int, PdfObj],
+      pageNum: Int): Option[Map[String, Array[String]]] = {
+    val dict = objs.get(pageNum).map(_.dict).getOrElse("")
+    val ri = dict.indexOf("/Resources")
+    if (ri < 0) return None
+    val resSrc = dictAfterKey(objs, dict, ri + "/Resources".length)
+    if (resSrc.isEmpty) return None
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Array[String]]
+    fontsInDict(objs, resSrc, out)
+    Some(out.toMap)
   }
 
   // ------------------------------------------------------------------

@@ -74,8 +74,30 @@ object ExtractPipeline {
     /** Bucket ids already committed for `runId` (resume filter). */
     def committedBuckets(spark: SparkSession, runId: String): Set[Int]
     /** Idempotent bucket-partitioned result write (replaying a bucket
-      * must replace exactly its own output). */
+      * must replace exactly its own output).
+      *
+      * CONTRACT (lineage exactly-once): `run()` counts per-bucket
+      * lineage metrics with an accumulator inside the extraction map,
+      * and Spark only guarantees once-per-task accumulator semantics in
+      * the RESULT stage of a single action. An implementation must
+      * therefore execute exactly ONE action over `results` and must not
+      * request a redistribution (e.g. Iceberg's hash write distribution)
+      * that pushes the extraction map into a ShuffleMapStage — there,
+      * stage retries/speculation re-run map tasks and double-count
+      * docs_in/docs_out/input_fingerprint. `results` arrives already
+      * partitioned by `bucket`, so a fan-out-free v1/v2 write needs no
+      * redistribution; a sink that must shuffle (or write twice) must
+      * instead derive its lineage from the WRITTEN data and ignore the
+      * accumulator (override [[trustAccumulatorLineage]] to false). */
     def writeResults(results: DataFrame): Unit
+    /** Whether `writeResults` upholds the one-action/no-shuffle contract
+      * above (accumulator lineage is trustworthy). Shuffling/multi-action
+      * sinks return false; `run()` then recomputes lineage from the
+      * written results table instead of the accumulator. */
+    def trustAccumulatorLineage: Boolean = true
+    /** Written results as a DataFrame (lineage fallback source when
+      * [[trustAccumulatorLineage]] is false); None when unsupported. */
+    def readBackResults(spark: SparkSession): Option[DataFrame] = None
     /** Atomic-append of per-bucket lineage commit rows. */
     def appendLineage(lineage: DataFrame): Unit
   }
@@ -106,6 +128,9 @@ object ExtractPipeline {
     }
     def appendLineage(lineage: DataFrame): Unit =
       lineage.write.mode(SaveMode.Append).parquet(lineageDir)
+    override def readBackResults(spark: SparkSession): Option[DataFrame] =
+      if (lineageExists(spark, outDir)) Some(spark.read.parquet(outDir))
+      else None
   }
 
   /** Iceberg-catalog implementation (north rule: "per-partition
@@ -158,6 +183,17 @@ object ExtractPipeline {
       else
         lineage.writeTo(lineageTable).create()
     }
+    /** Iceberg's `overwritePartitions` typically requests a hash write
+      * distribution (`write.distribution-mode=hash` default since
+      * Iceberg 1.2) — that extra shuffle pushes the extraction map into
+      * a ShuffleMapStage where stage retries/speculation double-count
+      * the lineage accumulator, so this sink derives lineage from the
+      * committed snapshot instead. */
+    override def trustAccumulatorLineage: Boolean = false
+    override def readBackResults(spark: SparkSession): Option[DataFrame] =
+      if (spark.catalog.tableExists(resultsTable))
+        Some(spark.table(resultsTable))
+      else None
   }
 
   final case class RunSummary(
@@ -240,19 +276,41 @@ object ExtractPipeline {
       .select(col("result.*"), col("bucket"))
 
     // idempotent write: a replayed bucket replaces only its own output —
-    // the ONE action over the full data (populates `acc` as it runs)
+    // for a contract-upholding protocol this is the ONE action over the
+    // full data (populates `acc` as it runs)
+    acc.reset() // defensive: zero even if a prior action touched the plan
     protocol.writeResults(results)
 
-    // per-bucket lineage/metrics commit rows from the accumulator
-    val metrics = {
-      val m = acc.value
-      val b = Seq.newBuilder[(String, Int, Long, Long, Long, Long, String)]
-      m.forEach { (bucket, bm) =>
-        b += ((runId, bucket.intValue, bm.fingerprint, bm.docsIn,
-          bm.docsOut, bm.bytes, Model.ExtractorVersion))
+    // per-bucket lineage/metrics commit rows: from the accumulator when
+    // the sink upholds the one-action/no-shuffle contract, otherwise
+    // recomputed from the WRITTEN data (a scan of the sink — immune to
+    // map-stage retries/speculation double-counting the accumulator)
+    val metrics: Seq[(String, Int, Long, Long, Long, Long, String)] =
+      if (protocol.trustAccumulatorLineage) {
+        val m = acc.value
+        val b = Seq.newBuilder[(String, Int, Long, Long, Long, Long, String)]
+        m.forEach { (bucket, bm) =>
+          b += ((runId, bucket.intValue, bm.fingerprint, bm.docsIn,
+            bm.docsOut, bm.bytes, Model.ExtractorVersion))
+        }
+        b.result().sortBy(_._2)
+      } else {
+        val written = protocol.readBackResults(spark).getOrElse(results)
+        val thisRun =
+          if (committed.isEmpty) written
+          else written.filter(!col("bucket").isin(committed.toSeq: _*))
+        thisRun
+          .groupBy(col("bucket"))
+          .agg(sum(hash(col("url")).cast("long")).as("fp"),
+            count(lit(1)).as("docs_in"),
+            sum(when(col("status") =!= "FAILED", 1L).otherwise(0L))
+              .as("docs_out"),
+            sum(col("bytes_in")).as("bytes"))
+          .collect()
+          .map(r => (runId, r.getInt(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), Model.ExtractorVersion))
+          .toSeq.sortBy(_._2)
       }
-      b.result().sortBy(_._2)
-    }
     val lineage = metrics.toDF("run_id", "partition_id", "input_fingerprint",
       "docs_in", "docs_out", "bytes", "extractor_version")
 
@@ -279,8 +337,12 @@ final case class BucketMetrics(
 object BucketMetrics {
   /** Same int32 as Spark's `hash(col)` (Murmur3, seed 42) on a string —
     * keeps `input_fingerprint` byte-identical to the previous
-    * sum(hash(url)) lineage aggregate. */
+    * sum(hash(url)) lineage aggregate. Total function like Spark's
+    * `hash()`: a null url folds the seed (42), it never throws — real
+    * crawl inputs through the generic Dataset[PageRow] API can carry
+    * null urls. */
   def sparkUrlHash(url: String): Long = {
+    if (url == null) return 42L
     val u = org.apache.spark.unsafe.types.UTF8String.fromString(url)
     org.apache.spark.unsafe.hash.Murmur3_x86_32
       .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42).toLong

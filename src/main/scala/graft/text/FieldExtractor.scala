@@ -466,11 +466,20 @@ object FieldExtractor {
   /** Variant with the caller-precomputed longest digit run (one pass per
     * document instead of one per pattern list). */
   def tryPatternsLower(text: String, lower: String,
-      patterns: List[Gated], textMaxDigitRun: Int): Option[String] = {
+      patterns: List[Gated], textMaxDigitRun: Int): Option[String] =
+    tryPatternsLower(text, lower, patterns, textMaxDigitRun,
+      lower.length == text.length && !graft.text.hasFoldDivergent(text))
+
+  /** Variant with the caller-precomputed fold-safety verdict (one scan
+    * per document instead of one per pattern list). */
+  def tryPatternsLower(text: String, lower: String, patterns: List[Gated],
+      textMaxDigitRun: Int, foldSafe: Boolean): Option[String] = {
     // positional anchoring needs index alignment between text and its
-    // lowercase copy; rare chars (e.g. U+0130) lowercase to TWO chars —
-    // detected by the length check, which falls back to the plain scan
-    val aligned = lower.length == text.length
+    // lowercase copy: rare chars (e.g. U+0130) lowercase to TWO chars —
+    // the length check catches those — and U+0131/U+017F/U+212A fold
+    // divergently at the SAME length (see graft.text.isFoldDivergent),
+    // which the caller's hasFoldDivergent scan catches
+    val aligned = foldSafe
     patterns.foreach { g =>
       if (g.anchored && aligned && g.minDigitRun == 0 && !g.mrzRun) {
         findAnchored(text, lower, g) match {
@@ -552,11 +561,13 @@ object FieldExtractor {
       FieldDefinitions.getOrElse(documentType, FieldDefinitions("id_document"))
 
     val runLen = graft.text.maxDigitRun(text)
+    val foldSafe =
+      lower.length == text.length && !graft.text.hasFoldDivergent(text)
     val fields = List.newBuilder[FieldRow]
     val warnings = List.newBuilder[String]
     definitions.foreach { d =>
       if (!OmitFromResponse.contains(d.name)) {
-        tryPatternsLower(text, lower, d.patterns, runLen).foreach { raw =>
+        tryPatternsLower(text, lower, d.patterns, runLen, foldSafe).foreach { raw =>
           val (row, w) = buildField(d.name, raw, d.sensitive, d.baseConfidence, runYear)
           fields += row
           warnings ++= w

@@ -44,7 +44,10 @@ object LangHints {
 
   /** detect() with a caller-provided lowercase copy. */
   def detectLower(t: String, lower: String): (String, String) = {
-    val aligned = lower.length == t.length
+    // length check catches 1:2 lowercasing (U+0130); hasFoldDivergent
+    // catches same-length fold divergence (U+0131/U+017F/U+212A) that
+    // would make the indexOf probe disagree with the Pattern
+    val aligned = lower.length == t.length && !graft.text.hasFoldDivergent(t)
     Hints.collectFirst {
       case (pat, alts, lang, country)
           if (if (aligned) WordAlts.has(lower, alts)

@@ -148,7 +148,11 @@ object Quality {
     if (docType == "bank_statement" || docType == "loan_application" ||
         docType == "kyc_form" || docType == "receipt" || docType == "invoice") {
       val lower = text.toLowerCase
-      val aligned = lower.length == text.length
+      // length check catches 1:2 lowercasing; hasFoldDivergent catches
+      // same-length divergence (incl. U+212A Kelvin → 'k', which would
+      // false-positive the probe copy vs these ASCII-CI patterns)
+      val aligned =
+        lower.length == text.length && !graft.text.hasFoldDivergent(text)
       if (docType == "bank_statement") {
         val hits = bankStatementHits(text, lower, aligned)
         if (hits < 2) reasons += "BANK_STATEMENT_SIGNALS_WEAK"

@@ -158,6 +158,36 @@ package object text {
     }
   }
 
+  /** Chars whose one-to-one `String.toLowerCase` image disagrees with
+    * the fold a case-insensitive matcher applies, so the aligned
+    * lowercase probe copy lies about matchability and the length check
+    * alone cannot catch it:
+    *  - regex double fold `toLower(toUpper(c))` differs from
+    *    `toLower(c)`: U+0131 ı and U+017F ſ match I/S under
+    *    CASE_INSENSITIVE|UNICODE_CASE yet never equal an i/s gate in
+    *    the lowercase copy (a missed match);
+    *  - a non-ASCII char lowercases INTO ASCII: U+212A KELVIN SIGN →
+    *    'k' gate-hits the probe copy where an ASCII-CI Pattern (no
+    *    UNICODE_CASE) would not match (a false positive).
+    * Fast-path scanners fall back to the real Pattern when any such
+    * char is present — the fallback is always-correct, just slower. */
+  @inline def isFoldDivergent(c: Char): Boolean =
+    c >= 0x80 && {
+      val lo = Character.toLowerCase(c)
+      lo != Character.toLowerCase(Character.toUpperCase(c)) || lo < 0x80
+    }
+
+  /** Any fold-divergent char in `s` (scan the ORIGINAL text — Kelvin K
+    * is invisible in the lowercase copy). */
+  def hasFoldDivergent(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (isFoldDivergent(s.charAt(i))) return true
+      i += 1
+    }
+    false
+  }
+
   /** Longest run of consecutive digit chars — cheap necessary-condition
     * gate for digit-shaped regexes (a pattern needing k consecutive
     * digits cannot match when maxDigitRun < k). */

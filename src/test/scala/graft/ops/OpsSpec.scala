@@ -403,6 +403,24 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).toSet == (51L until 60L).toSet, rows.mkString(","))
   }
 
+  test("active learning: k > nSamples truncates in the reference's cluster-major order") {
+    // 10 orthogonal clusters × 5 points, nSamples=4 < k=10: the
+    // reference's selected_indices[:n_samples] slice keeps cluster
+    // 0..3's single top picks (cluster-major append order), NOT the 4
+    // globally most-uncertain rows
+    val pool = (0L until 50L).map { i =>
+      val c = (i % 10).toInt
+      (i, Seq.tabulate(10)(d => if (d == c) 1.0f else 0.0f), i.toDouble)
+    }.toDF("doc_id", "embedding", "uncertainty")
+    val sel = ActiveLearning.sampleByEmbedding(pool, "doc_id", "embedding",
+      "uncertainty", nSamples = 4, nClusters = 10)
+    val rows = sel.select($"cluster", $"doc_id").as[(Int, Long)].collect()
+    assert(rows.length == 4)
+    // seeds are the 10 lowest vec_ids (one-hot 0..9) so cluster c = i%10;
+    // top pick of cluster c is id 40+c; slice keeps clusters 0..3
+    assert(rows.map(_._2).toSet == Set(40L, 41L, 42L, 43L), rows.mkString(","))
+  }
+
   test("active learning: exact quantile twin is deterministic") {
     val pool = (0L until 40L).map(i => (i, i % 7, (i * 13 % 40) / 40.0))
       .toDF("doc_id", "feat", "uncertainty")

@@ -194,6 +194,50 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(PdfParser.extractText(bytes) == "real page")
   }
 
+  test("per-page /Resources scope font tables (simple /F1 vs Type0 /F1)") {
+    // page 1 binds /F1 to a WinAnsi simple font; page 2 binds the SAME
+    // name to a Type0 CID font — a document-wide first-binding-wins
+    // table would byte-decode page 2's 2-byte CID hex into mojibake
+    val cmap = "begincmap\n2 beginbfchar\n<0001> <0048>\n<0002> <0069>\n" +
+      "endbfchar\nendcmap"
+    val c1 = "BT /F1 12 Tf 72 720 Td (café) Tj ET" // 0xE9 = WinAnsi é
+    val c2 = "BT /F1 12 Tf 72 720 Td <0001 0002> Tj ET" // CIDs → "Hi"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R 7 0 R] /Count 2 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n" +
+      "5 0 obj << /Type /Font /Subtype /TrueType " +
+      "/Encoding /WinAnsiEncoding >> endobj\n" +
+      "7 0 obj << /Type /Page /Parent 2 0 R /Contents 8 0 R " +
+      "/Resources << /Font << /F1 9 0 R >> >> >> endobj\n" +
+      s"8 0 obj << /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n" +
+      "9 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H " +
+      "/ToUnicode 10 0 R >> endobj\n" +
+      s"10 0 obj << /Length ${cmap.length} >>\nstream\n$cmap\nendstream\nendobj\n" +
+      "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val text = PdfParser.extractText(bytes)
+    assert(text == "café\n\n--- PAGE BREAK ---\n\nHi",
+      text.map(_.toInt).mkString(","))
+  }
+
+  test("indirect /Resources and indirect /Font dicts resolve") {
+    val content = "BT /F1 12 Tf 72 720 Td (café) Tj ET"
+    val bytes = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources 6 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "6 0 obj << /Font 7 0 R >> endobj\n" +
+      "7 0 obj << /F1 5 0 R >> endobj\n" +
+      "5 0 obj << /Type /Font /Subtype /TrueType " +
+      "/Encoding /WinAnsiEncoding >> endobj\n" +
+      "%%EOF\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfParser.extractText(bytes) == "café")
+  }
+
   test("garbage never throws") {
     assert(PdfParser.extractText("%PDF-1.4 garbage".getBytes(UTF_8)) == "")
     val r = new java.util.Random(1)

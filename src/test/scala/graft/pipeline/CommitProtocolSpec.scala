@@ -34,15 +34,18 @@ class CommitProtocolSpec extends AnyFunSuite {
   /** Atomic-table twin: per-bucket replace on write, append-only
     * lineage — the same contract IcebergCommitProtocol gets from
     * overwritePartitions()/append(). */
-  private final class InMemoryProtocol extends ExtractPipeline.CommitProtocol {
+  private class InMemoryProtocol extends ExtractPipeline.CommitProtocol {
     val store = scala.collection.mutable.Map.empty[Int, Array[Row]]
     val lineage = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var schema: org.apache.spark.sql.types.StructType = _
     def committedBuckets(spark: SparkSession, runId: String): Set[Int] =
       lineage.filter(_.getAs[String]("run_id") == runId)
         .map(_.getAs[Int]("partition_id")).toSet
-    def writeResults(results: DataFrame): Unit =
+    def writeResults(results: DataFrame): Unit = {
+      schema = results.schema
       results.collect().groupBy(_.getAs[Int]("bucket"))
         .foreach { case (b, rows) => store(b) = rows } // replace, not append
+    }
     def appendLineage(l: DataFrame): Unit = lineage ++= l.collect()
   }
 
@@ -105,6 +108,46 @@ class CommitProtocolSpec extends AnyFunSuite {
       assert(h.outCount() == 240, "replay must replace, not append")
       assert(h.outDistinctUrls() == 240)
     }
+  }
+
+  test("derived lineage (shuffling sink) matches accumulator lineage") {
+    // a sink that breaks the one-action/no-shuffle contract sets
+    // trustAccumulatorLineage=false; run() must then recompute lineage
+    // from the WRITTEN data and land on identical per-bucket metrics
+    val pages = ExtractPipeline.pages(spark, 240, 4)
+    val pAcc = new InMemoryProtocol
+    ExtractPipeline.run(spark, pages, pAcc, "runL", 6,
+      ExtractPipeline.DefaultSalt)
+    val pDerived = new InMemoryProtocol {
+      override def trustAccumulatorLineage: Boolean = false
+      override def readBackResults(s: SparkSession): Option[DataFrame] =
+        if (store.isEmpty) None
+        else {
+          val rows = new java.util.ArrayList[Row]()
+          store.values.flatten.foreach(rows.add)
+          Some(s.createDataFrame(rows, schema))
+        }
+    }
+    val sum = ExtractPipeline.run(spark, pages, pDerived, "runL", 6,
+      ExtractPipeline.DefaultSalt)
+    assert(sum.docsIn == 240)
+    def key(r: Row) = (r.getAs[Int]("partition_id"),
+      r.getAs[Long]("input_fingerprint"), r.getAs[Long]("docs_in"),
+      r.getAs[Long]("docs_out"), r.getAs[Long]("bytes"))
+    assert(pDerived.lineage.map(key).toSet == pAcc.lineage.map(key).toSet,
+      s"derived=${pDerived.lineage}\nacc=${pAcc.lineage}")
+  }
+
+  test("null url never throws in the lineage fingerprint") {
+    // total-function parity with Spark's hash(): null folds the seed
+    assert(BucketMetrics.sparkUrlHash(null) == 42L)
+    import spark.implicits._
+    val sparkNull = spark.range(1)
+      .select(org.apache.spark.sql.functions.hash(
+        org.apache.spark.sql.functions.lit(null
+          .asInstanceOf[String])).cast("long").as("h"))
+      .as[Long].collect()(0)
+    assert(BucketMetrics.sparkUrlHash(null) == sparkNull)
   }
 
   test("iceberg protocol reads committed buckets from the lineage table") {

@@ -190,6 +190,42 @@ class FieldExtractorSpec extends AnyFunSuite {
     }
   }
 
+  test("fold-divergent chars (ı ſ K) force the regex fallback — parity holds") {
+    // U+0131/U+017F match i/s under CASE_INSENSITIVE|UNICODE_CASE but
+    // survive toLowerCase unchanged, so the anchored indexOf probe can
+    // never see them; U+212A lowercases INTO 'k'. The length-equality
+    // alignment check misses all three (1:1 lowercasing) — the
+    // hasFoldDivergent guard must catch them.
+    assert(graft.text.isFoldDivergent('ı')) // dotless i
+    assert(graft.text.isFoldDivergent('ſ')) // long s
+    assert(graft.text.isFoldDivergent('K')) // Kelvin K
+    assert(!graft.text.isFoldDivergent('i'))
+    assert(!graft.text.isFoldDivergent('é'))
+    assert(!graft.text.isFoldDivergent('ß'))
+
+    // 'ı' inside a gate literal: regex matches, a lowercase probe never
+    // would — the anchored path must agree with the unanchored reference
+    val texts = Seq(
+      "PASSPORT\nDate of Bırth: 15/03/1985\nPassport No: AB123456\n",
+      "paſſport no: X1234567\nDate of Birth: 01/02/1990",
+      "banK card\ncard number: 4111 1111 1111 1111")
+    texts.foreach { text =>
+      val lower = text.toLowerCase
+      assert(lower.length == text.length, "1:1 case must hold for this test")
+      for (patterns <- FieldExtractor.FieldDefinitions.values.flatten
+          .map(_.patterns).toSeq.distinct) {
+        val fast = FieldExtractor.tryPatternsLower(text, lower, patterns,
+          graft.text.maxDigitRun(text))
+        val ref = FieldExtractor.tryPatternsNoAnchor(text, lower, patterns)
+        assert(fast == ref,
+          s"patterns=${patterns.head.pattern.pattern()} text='$text'")
+      }
+    }
+    // end-to-end: the ı'd passport still yields date_of_birth
+    val (fields, _) = FieldExtractor.extract(texts.head, "passport")
+    assert(names(fields).contains("date_of_birth"))
+  }
+
   test("property: maskPan preserves last 4 and hides the rest") {
     val panGen = Gen.chooseNum(13, 19).flatMap(n =>
       Gen.listOfN(n, Gen.numChar).map(_.mkString))

@@ -262,4 +262,22 @@ class ScoringSpec extends AnyFunSuite {
         assert(Quality.currencyGate(lower), s"currency gate pruned '$text'")
     }
   }
+
+  test("fold-divergent chars force LangHints/WordAlts to the regex path") {
+    // same-length fold divergence the aligned-length check can't see:
+    // ſ matches s under UNICODE_CASE (ſsn ≡ ssn for the regex) but the
+    // lowercase probe copy keeps ſ — the fast path must fall back
+    val cases = Seq(
+      "my ſsn number",        // long s: regex hit, probe copy miss
+      "ſocial ſecurity data", // long s in a phrase alternation
+      "DNı: 12345678X")       // dotless i: dni ≡ dnı for the regex
+    cases.foreach { t =>
+      val lower = t.toLowerCase
+      assert(lower.length == t.length)
+      assert(LangHints.detectLower(t, lower) ==
+        LangHints.detectLowerReference(t, lower), s"'$t'")
+    }
+    assert(LangHints.detect("my ſsn number") == ("en", "US"))
+    assert(LangHints.detect("DNı: 12345678X") == ("es", "ES"))
+  }
 }
