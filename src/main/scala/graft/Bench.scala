@@ -132,18 +132,28 @@ object Bench {
         }
         if (per.isEmpty) 0.0 else per.sum / per.size
       }
-      val centroids = graft.ops.IvfIndex.train(emb)
-      // the SHIPPED defaults (what x_ann_ivf / x_ann_lsh actually run —
-      // recall-first: nprobe 16 × replicas 3, auto bits × 24 tables)
-      // plus round-2's cheap points for cross-round continuity. The
-      // driver's embeddings are near-orthogonal (~99% of pairs below
-      // 0.3 cosine) — the hardest case for space partitioning, which is
-      // exactly why the defaults moved to the high-recall points.
+      val n = emb.count()
+      val centroids = graft.ops.IvfIndex.train(emb, knownN = n)
+      // *_auto = the SHIPPED defaults (what x_ann_ivf / x_ann_lsh run):
+      // size-aware — below the brute crossover they route to the exact
+      // pass, so 1.000 here means "exact at this corpus size", not
+      // index recall. *_forced pins the approximate MACHINERY at the
+      // auto-derived operating point (what a 10^12-row corpus would
+      // run); the b4t24/b8t12/np4 points stay for cross-round
+      // comparison. The driver's embeddings are near-orthogonal (~99%
+      // of pairs below 0.3 cosine) — the hardest case for space
+      // partitioning.
       Map(
+        "ivf_auto" -> recallOf(graft.ops.IvfIndex.topKAuto(emb, 5,
+          knownN = n)),
         "ivf_np16" -> recallOf(graft.ops.IvfIndex.topK(emb, centroids, 5)),
         "ivf_np4" -> recallOf(graft.ops.IvfIndex.topK(emb, centroids, 5,
           nprobe = 4, replicas = 1)), // round-2 default, for comparison
-        "lsh_default" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5)),
+        "lsh_auto" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5,
+          knownN = n)),
+        "lsh_forced" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5,
+          signBits = graft.ops.Similarity.signBitsFor(n),
+          tables = graft.ops.Similarity.DefaultTables)),
         "lsh_b4t24" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5,
           signBits = 4, tables = 24)),
         "lsh_b8t12" -> recallOf(graft.ops.Similarity.lshCosineTopK(emb, 5,
@@ -345,9 +355,13 @@ object Bench {
       recalls.toSeq.sorted.foreach { case (k, v) =>
         md ++= f"| $k | $v%.3f |\n"
       }
-      md ++= "\n`ivf_np16` (nprobe 16 × 3 replicas) and `lsh_default` "
-      md ++= "(corpus-derived bits × 24 tables) are the SHIPPED defaults — "
-      md ++= "what `x_ann_ivf`/`x_ann_lsh` actually run; "
+      md ++= "\n`ivf_auto`/`lsh_auto` are the SHIPPED defaults — what "
+      md ++= "`x_ann_ivf`/`x_ann_lsh` actually run: size-aware, routing "
+      md ++= "to the exact brute pass below the crossover (so 1.000 at "
+      md ++= "this corpus size means EXACT, not index recall). "
+      md ++= "`ivf_np16` (nprobe 16 × 3 replicas) and `lsh_forced` "
+      md ++= "(corpus-derived bits × 24 tables) pin the approximate "
+      md ++= "machinery a 10^12-row corpus would run; "
       md ++= "`ivf_np4`/`lsh_b8t12` are round-2's cheap points and "
       md ++= "`lsh_b4t24` the fixed high-recall point, kept for "
       md ++= "cross-round comparison. "

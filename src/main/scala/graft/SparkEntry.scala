@@ -347,13 +347,45 @@ object SparkEntry {
     }),
 
     "x_ann_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val centroids = graft.ops.IvfIndex.train(emb) // k = ⌈√n⌉, 2 Lloyd iters
-      // defaults: nprobe = DefaultNProbe (16), replicas = 3 — the
-      // recall-first operating point (see IvfIndex scaladoc)
-      graft.ops.IvfIndex.topK(emb, centroids, k = 5)
+      // size-aware shipped entry point: routes to the exact brute pass
+      // below IvfIndex.BruteCrossover (exact AND faster there), else
+      // trains ⌈√n⌉ cells and probes at the recall-first operating
+      // point (nprobe 16 × 3 replicas — see IvfIndex scaladoc)
+      graft.ops.IvfIndex.topKAuto(t(s, dir, "embeddings"), k = 5)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- ANN recall gate (driver-visible) -------------------------------
+    // forced-machinery top-5 recall of the approximate LSH/IVF paths vs
+    // the in-engine brute baseline, emitted as a GATED row per method:
+    // recall_ok = 1 iff pooled recall_e6 ≥ 900000. The oracle recomputes
+    // brute_rows (the brute side of the comparison) independently in
+    // DuckDB and expects recall_ok = 1 — a recall regression flips the
+    // flag and turns this row red in CORRECTNESS, not just a bench field
+    "x_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val brute = Similarity.bruteCosineTopK(emb, emb, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      brute.cache()
+      val bruteRows = brute.count()
+      def recallE6(approx: DataFrame): Long = {
+        val hits = approx.select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id")).count()
+        math.round(hits.toDouble * 1000000.0 / math.max(bruteRows, 1L))
+      }
+      val ivfR = recallE6(graft.ops.IvfIndex.topK(emb,
+        graft.ops.IvfIndex.train(emb, knownN = n), 5))
+      val lshR = recallE6(Similarity.lshCosineTopK(emb, 5,
+        signBits = Similarity.signBitsFor(n),
+        tables = Similarity.DefaultTables))
+      brute.unpersist()
+      Seq(("ivf", bruteRows, if (ivfR >= 900000L) 1L else 0L),
+        ("lsh", bruteRows, if (lshR >= 900000L) 1L else 0L))
+        .toDF("method", "brute_rows", "recall_ok")
+        .orderBy(col("method"))
     }),
 
     // canonical-url dedup — DuckDB-oracled: three deterministic crawl
@@ -745,6 +777,17 @@ object SparkEntry {
         "WHEN s_fr = greatest(s_en, s_es, s_fr, s_de, s_pt) THEN 'fr' " +
         "WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_pt) THEN 'de' " +
         "ELSE 'pt' END AS lang_pred FROM s ORDER BY doc_id"),
+
+    // brute side of the recall gate recomputed independently: every
+    // vec_id is a query with min(5, n−1) exact top-k rows; recall_ok
+    // must be 1 for both methods (the Spark side flips it to 0 when the
+    // forced approximate path drops below 0.9 pooled recall)
+    "x_ann_recall" ->
+      ("WITH n AS (SELECT count(*) AS cnt FROM embeddings) " +
+        "SELECT method, CAST(cnt * least(5, cnt - 1) AS BIGINT) AS brute_rows, " +
+        "CAST(1 AS BIGINT) AS recall_ok " +
+        "FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'), n " +
+        "ORDER BY method"),
 
     // expected canonical forms derived independently from the known
     // variant shapes (the Spark side runs the real URI canonicalizer)

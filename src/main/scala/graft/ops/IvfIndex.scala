@@ -51,6 +51,17 @@ object IvfIndex {
   val MaxCells = 65536
   val DefaultCellCap = 10000
 
+  /** Below this corpus size brute force beats IVF at its recall-first
+    * operating point AND is exact: per-query IVF candidate work is
+    * ≈ nprobe × replicas × (n / √n) = 48·√n cosines plus Lloyd training
+    * and three extra shuffles, so the probed fraction
+    * nprobe·replicas/√n only falls under ~25% beyond n ≈ 32k — measured
+    * at sf0.1 (n = 2000) brute is 0.4 s vs 10.3 s for the IVF path.
+    * [[topKAuto]] routes on this; explicit-centroid [[topK]] never
+    * routes (it IS the forced approximate path, e.g. for recall
+    * measurement). */
+  val BruteCrossover = 32768L
+
   /** Sub-cells a single hot coarse cell may be split into (two-level
     * quantization); bounds the per-cell driver state. */
   val MaxSubCells = 4096
@@ -152,10 +163,10 @@ object IvfIndex {
     * ⌈√n⌉. Cells that lose all members keep their previous centroid
     * (stable ids, no collapse). */
   def train(corpus: DataFrame, k: Int = -1,
-      iters: Int = DefaultIters): Array[Array[Float]] = {
+      iters: Int = DefaultIters, knownN: Long = -1L): Array[Array[Float]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val n = corpus.count()
+    val n = if (knownN >= 0L) knownN else corpus.count()
     val kk = if (k > 0) k else cellsFor(n)
     val sampleTarget = TrainPointsPerCell.toLong * kk
     val trainSet =
@@ -194,16 +205,21 @@ object IvfIndex {
   }
 
   /** Cell assignment (narrow, primary cell only — kept for statistics
-    * and clustering callers like ActiveLearning). */
+    * and clustering callers like ActiveLearning). Centroids ship as a
+    * broadcast variable, not a task-closure capture: at MaxCells ×
+    * dim 768 the closure would serialize ~200 MB PER TASK; a broadcast
+    * ships once per executor (torrent blocks) and is shared. */
   def assign(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
-    val assignUdf = udf((v: Seq[Float]) => nearestCell(centroids, v))
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf((v: Seq[Float]) => nearestCell(bc.value, v))
     corpus.withColumn("cell", assignUdf(col("embedding")))
   }
 
   /** Multi-assignment: one row per (vector, replica cell). */
-  private def assignMulti(corpus: DataFrame, centroids: Array[Array[Float]],
+  private def assignMulti(corpus: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
       replicas: Int): DataFrame = {
-    val assignUdf = udf((v: Seq[Float]) => nearestCells(centroids, v, replicas))
+    val assignUdf = udf((v: Seq[Float]) => nearestCells(bc.value, v, replicas))
     corpus.select(col("vec_id"), col("embedding"),
       explode(assignUdf(col("embedding"))).as("cell"))
   }
@@ -212,32 +228,38 @@ object IvfIndex {
     * member count exceeds `cellCap` get ⌈count/cellCap⌉ sub-centroids
     * (deterministic hash-ordered member seeds — cheap, data-adaptive), so
     * members are SPLIT across bounded sub-cells instead of dropped.
-    * Driver state is Σ⌈count/cellCap⌉ vectors, ≤ MaxSubCells per cell; at
-    * extreme n the sub-centroid set outgrows closure capture and should
-    * ship as a broadcast-joined table instead (same plan shape). */
+    * Driver state is Σ⌈count/cellCap⌉ vectors, ≤ MaxSubCells per cell
+    * (the collect below pulls exactly the chosen SEEDS, one window pass,
+    * rn ≤ kSub(cell) — never a cell's full membership); callers ship the
+    * result as a broadcast variable. Hot cells are selected by a
+    * broadcast join on a tiny cell-id table — an `isin` with thousands
+    * of hot cells would build a giant In-list expression per task. */
   private[ops] def trainSubCells(assigned: DataFrame,
       cellCap: Int): Map[Int, Array[Array[Float]]] = {
     val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val hot = counts.filter(_._2 > cellCap)
     if (hot.isEmpty) return Map.empty
+    val spark = assigned.sparkSession
+    import spark.implicits._
     // 2× oversplit: expected sub-cell load ≈ cellCap/2, so moderately
     // skewed sub-cells still fit under the cap instead of dropping
     val kSub: Map[Int, Int] = hot.map { case (c, n) =>
       c -> math.min(MaxSubCells.toLong, 2L * ((n + cellCap - 1) / cellCap)).toInt
     }
-    val maxSub = kSub.values.max
+    val hotDf = broadcast(
+      kSub.toSeq.map { case (c, k) => (c, k) }.toDF("cell", "k_sub"))
     val wCell = Window.partitionBy(col("cell"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
     assigned
-      .filter(col("cell").isin(hot.keys.toSeq: _*))
+      .join(hotDf, Seq("cell"))
       .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= maxSub)
+      .filter(col("rn") <= col("k_sub")) // per-cell seed count, not max
       .select(col("cell"), col("rn"), col("embedding"))
       .collect()
       .groupBy(_.getInt(0))
       .map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1)).take(kSub(cell))
+        cell -> rows.sortBy(_.getInt(1))
           .map(r => toFloatArray(r.getAs[scala.collection.Seq[Float]](2).toSeq))
       }
   }
@@ -248,9 +270,10 @@ object IvfIndex {
 
   /** Candidate index rows keyed by (coarse, sub) cell — pre-cap. */
   private def keyedCandidates(assigned: DataFrame,
-      subCents: Map[Int, Array[Array[Float]]]): DataFrame = {
+      bcSub: org.apache.spark.broadcast.Broadcast[
+        Map[Int, Array[Array[Float]]]]): DataFrame = {
     val fineUdf = udf((cell: Int, v: Seq[Float]) =>
-      subCents.get(cell) match {
+      bcSub.value.get(cell) match {
         case Some(sc) => ckeyOf(cell, nearestCell(sc, v))
         case None => ckeyOf(cell, 0)
       })
@@ -263,8 +286,9 @@ object IvfIndex {
   def cellDrops(corpus: DataFrame, centroids: Array[Array[Float]],
       cellCap: Int = DefaultCellCap,
       replicas: Int = DefaultReplicas): Long = {
-    val assigned = assignMulti(corpus, centroids, replicas)
-    val subCents = trainSubCells(assigned, cellCap)
+    val sc = corpus.sparkSession.sparkContext
+    val assigned = assignMulti(corpus, sc.broadcast(centroids), replicas)
+    val subCents = sc.broadcast(trainSubCells(assigned, cellCap))
     keyedCandidates(assigned, subCents)
       .groupBy(col("ckey")).agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(greatest(col("n") - cellCap, lit(0L))), lit(0L)))
@@ -281,8 +305,10 @@ object IvfIndex {
       cellCap: Int = DefaultCellCap,
       replicas: Int = DefaultReplicas,
       subProbe: Int = DefaultSubProbe): DataFrame = {
-    val assigned = assignMulti(corpus, centroids, replicas)
-    val subCents = trainSubCells(assigned, cellCap)
+    val sc = corpus.sparkSession.sparkContext
+    val bcCents = sc.broadcast(centroids)
+    val assigned = assignMulti(corpus, bcCents, replicas)
+    val bcSub = sc.broadcast(trainSubCells(assigned, cellCap))
     // residual-cap safety net (a cell beyond cellCap × MaxSubCells):
     // deterministic hash-ordered sample per sub-cell, drops accounted
     // via cellDrops
@@ -293,17 +319,17 @@ object IvfIndex {
     // the vectors — pairs are deduped as two longs and the embeddings
     // join back once per side (Catalyst picks broadcast vs shuffled hash
     // join by corpus size)
-    val candidates = keyedCandidates(assigned, subCents)
+    val candidates = keyedCandidates(assigned, bcSub)
       .withColumn("rn", row_number().over(wKey))
       .filter(col("rn") <= cellCap)
       .select(col("ckey"), col("vec_id").as("neighbor_id"))
     val probeUdf = udf((v: Seq[Float]) => {
-      val coarse = nearestCells(centroids, v, nprobe)
+      val coarse = nearestCells(bcCents.value, v, nprobe)
       val out = Array.newBuilder[Long]
       var i = 0
       while (i < coarse.length) {
         val c = coarse(i)
-        subCents.get(c) match {
+        bcSub.value.get(c) match {
           case Some(sc) =>
             val subs = nearestCells(sc, v, subProbe)
             var j = 0
@@ -332,5 +358,24 @@ object IvfIndex {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
+  /** Size-aware IVF top-k — the SHIPPED entry point: counts the corpus
+    * once and routes to the exact brute-force baseline below
+    * [[BruteCrossover]] (where brute is exact AND ~25× faster than the
+    * recall-first IVF operating point), otherwise trains ⌈√n⌉ cells and
+    * runs [[topK]]. Output schema is identical on both routes. Explicit
+    * [[topK]]/[[train]] remain the forced approximate path (recall
+    * measurement, pre-trained centroids). */
+  def topKAuto(corpus: DataFrame, k: Int,
+      nprobe: Int = DefaultNProbe,
+      cellCap: Int = DefaultCellCap,
+      replicas: Int = DefaultReplicas,
+      subProbe: Int = DefaultSubProbe,
+      knownN: Long = -1L): DataFrame = {
+    val n = if (knownN >= 0L) knownN else corpus.count()
+    if (n < BruteCrossover) Similarity.bruteCosineTopKSelf(corpus, k)
+    else topK(corpus, train(corpus, knownN = n), k, nprobe, cellCap,
+      replicas, subProbe)
   }
 }

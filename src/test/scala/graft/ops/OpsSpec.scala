@@ -118,7 +118,9 @@ class OpsSpec extends AnyFunSuite {
         (if (d % 4 == cluster) 1.0 else 0.0) + r.nextGaussian() * 0.05)
       (i, v.map(_.toFloat).toSeq)
     }.toDF("vec_id", "embedding")
-    val lsh = Similarity.lshCosineTopK(emb, k = 3)
+    // force the LSH machinery (auto mode would route n=100 to brute)
+    val lsh = Similarity.lshCosineTopK(emb, k = 3,
+      signBits = Similarity.signBitsFor(100), tables = Similarity.DefaultTables)
     assert(lsh.count() > 0)
     // every reported neighbor has non-trivial cosine (same cluster)
     val minCos = lsh.agg(min($"cos")).as[Double].collect()(0)
@@ -144,7 +146,10 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.exactEmbSurvivors(flood).count() == 1L)
     // with the pre-pass off, the bucket cap bounds the candidate pairs
     // to C(cap,2) survivors and the drops are accounted, not silent
+    // (signBits forced: auto mode would route this small n to the exact
+    // pass, bypassing the cap machinery under test)
     val capped = Similarity.cosineNearDups(flood, 0.9,
+      signBits = Similarity.signBitsFor(2000),
       exactPrepass = false, bucketCap = 10)
     assert(capped.count() == 45L, s"got ${capped.count()}") // C(10,2)
     val drops = Similarity.lshBucketDrops(flood, bucketCap = 10)
@@ -154,7 +159,8 @@ class OpsSpec extends AnyFunSuite {
     val jitter = (0L until 1500L).map(i =>
       (i, v.updated(0, v(0) * (1.0f + i * 1e-7f))))
       .toDF("vec_id", "embedding")
-    val bounded = Similarity.cosineNearDups(jitter, 0.9, bucketCap = 20)
+    val bounded = Similarity.cosineNearDups(jitter, 0.9,
+      signBits = Similarity.signBitsFor(1500), bucketCap = 20)
     assert(bounded.count() == 190L) // C(20,2)
   }
 
@@ -318,11 +324,42 @@ class OpsSpec extends AnyFunSuite {
     assert(r >= 0.9, s"two-level ivf recall $r")
   }
 
-  test("lsh recall >= 0.9 vs brute on clustered vectors") {
+  test("lsh recall >= 0.9 vs brute on clustered vectors (forced path)") {
     val emb = clusteredEmb(400, 32, 8, seed = 3)
-    val approx = Similarity.lshCosineTopK(emb, k = 5)
+    val approx = Similarity.lshCosineTopK(emb, k = 5,
+      signBits = Similarity.signBitsFor(400), tables = Similarity.DefaultTables)
     val r = recallVsBrute(emb, approx, k = 5)
     assert(r >= 0.9, s"lsh recall $r")
+  }
+
+  test("auto mode routes small corpora to the exact brute pass") {
+    // below lshCrossover the shipped defaults ARE exact: identical rows
+    // to bruteCosineTopK / exactCosineNearDups over the survivors
+    assert(Similarity.lshCrossover() ==
+      24L * Similarity.TargetBucketSize * (1 << Similarity.MinBits))
+    val emb = clusteredEmb(150, 16, 5, seed = 11)
+    val auto = Similarity.lshCosineTopK(emb, k = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteCosineTopK(emb, emb, 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(auto == brute)
+    val autoDups = Similarity.cosineNearDups(emb, 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    val exactDups = Similarity.exactCosineNearDups(
+      Similarity.exactEmbSurvivors(emb), 0.8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(autoDups == exactDups)
+    val autoIvf = IvfIndex.topKAuto(emb, 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(autoIvf == brute)
+    // tables co-derivation: rises with bits, clamped
+    assert(Similarity.tablesFor(9) == 18)
+    assert(Similarity.tablesFor(12) == 34)
+    assert(Similarity.tablesFor(16) == 48)
+    assert(Similarity.tablesFor(4) == 12)
   }
 
   test("sign bits scale with corpus size") {
@@ -351,7 +388,8 @@ class OpsSpec extends AnyFunSuite {
     val emb = clusteredEmb(300, 32, 6, seed = 19)
     val exact = Similarity.exactCosineNearDups(emb, 0.8)
       .select("a", "b").as[(Long, Long)].collect().toSet
-    val approx = Similarity.cosineNearDups(emb, 0.8)
+    val approx = Similarity.cosineNearDups(emb, 0.8,
+      signBits = Similarity.signBitsFor(300)) // forced: machinery recall
       .select("a", "b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
     assert(approx.subsetOf(exact)) // bucketing only prunes, never invents
