@@ -875,19 +875,28 @@ object SparkEntry {
         "WHEN doc_id % 6 = 4 THEN 'Diners Club - International' " +
         "ELSE 'unknown' END AS brand FROM n ORDER BY doc_id"),
 
-    // the stub codec's metadata contract, recomputed independently:
-    // kind = id%3, width = 16+(id*7919)%64, height = 16+(id*104729)%64,
-    // frames = video ? 1+(id*13)%30 : 1, bytes = 17 header + 64+(id*31)%192
+    // the codec metadata contract, recomputed independently: kind =
+    // id%3, width = 16+(id*7919)%64, height = 16+(id*104729)%64,
+    // frames = video ? 1+(id*13)%30 : 1. Image rows are REAL files
+    // whose byte lengths follow the ImageHeaders closed forms — PNG
+    // (id%6=0): 68 + h·(1+3w); BMP (id%6=3): 54 + h·((3w+3)//4·4);
+    // audio/video keep the stub's 17 + 64+(id*31)%192. The Spark side
+    // reads width/height back OUT of the real PNG/BMP headers, so this
+    // oracle verifies the actual encode→parse round trip.
     "x_multimodal_features" ->
-      ("SELECT doc_id AS media_id, " +
+      ("WITH g AS (SELECT doc_id, 16 + (doc_id * 7919) % 64 AS w, " +
+        "16 + (doc_id * 104729) % 64 AS h FROM documents WHERE doc_id < 300) " +
+        "SELECT doc_id AS media_id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
         "ELSE 'video' END AS kind, " +
-        "CAST(16 + (doc_id * 7919) % 64 AS BIGINT) AS width, " +
-        "CAST(16 + (doc_id * 104729) % 64 AS BIGINT) AS height, " +
+        "CAST(w AS BIGINT) AS width, " +
+        "CAST(h AS BIGINT) AS height, " +
         "CASE WHEN doc_id % 3 = 2 THEN CAST(1 + (doc_id * 13) % 30 AS BIGINT) " +
         "ELSE 1 END AS n_frames, " +
-        "CAST(81 + (doc_id * 31) % 192 AS BIGINT) AS bytes " +
-        "FROM documents WHERE doc_id < 300 ORDER BY media_id"),
+        "CAST(CASE WHEN doc_id % 6 = 0 THEN 68 + h * (1 + 3 * w) " +
+        "WHEN doc_id % 6 = 3 THEN 54 + h * (((3 * w + 3) // 4) * 4) " +
+        "ELSE 81 + (doc_id * 31) % 192 END AS BIGINT) AS bytes " +
+        "FROM g ORDER BY media_id"),
 
     "x_multimodal_frames" ->
       ("WITH m AS (SELECT doc_id AS media_id, " +

@@ -81,6 +81,7 @@ final case class Analytics(
 
 final case class ExtractResult(
     url: String,
+    warc_ts: java.sql.Timestamp, // crawl/ingestion time, carried for provenance + recency retention
     text: String,
     confidence: Double,
     document_type: String,

@@ -66,4 +66,12 @@ object LearningStore {
       lit(graft.model.Model.ExtractorVersion).as("version"),
       createdAtCol.map(c => col(c).cast("long"))
         .getOrElse(xxhash64(col("url"))).as("created_at"))
+
+  /** The pipeline entry point: `ExtractResult` rows carry the page's
+    * crawl timestamp (`warc_ts`), so retention is the reference's
+    * newest-500-per-type (learning_engine.py:135-136) — ordered by real
+    * ingestion time regardless of partition/shuffle order, with the url
+    * hash as a deterministic tie-break inside one timestamp. */
+  def fromPipeline(results: DataFrame): DataFrame =
+    fromExtraction(results, createdAtCol = Some("warc_ts"))
 }

@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * The decode step is STUBBED (this container ships no image/audio codecs)
-  * behind [[MediaCodecStub]] — a deterministic fake that parses our own
+  * IMAGE rows are REAL containers: the synthesizer emits valid PNG and
+  * BMP files and the decode step parses their actual headers
+  * ([[ImageHeaders]] — PNG signature + IHDR, BMP BITMAPINFOHEADER), so
+  * `width`/`height` come out of real file bytes. AUDIO/VIDEO decode
+  * remains STUBBED (this container ships no AV codecs) behind
+  * [[MediaCodecStub]] — a deterministic fake that parses our own
   * synthetic header format. Everything Spark-side is real and tested:
   * schema, size-aware repartitioning, batched per-partition processing
   * (the Scala analog of `mapInPandas` batch shape), and the feature
@@ -33,11 +37,13 @@ object Multimodal {
 
   val FeatureDim = 16
 
-  /** Deterministic synthetic media table (magic-tagged payloads the stub
-    * codec can "decode"). Metadata is modular arithmetic over media_id —
-    * independently recomputable by the DuckDB oracle, so the driver can
-    * verify the whole encode→decode metadata round trip; only the opaque
-    * payload BODY bytes are seeded-random. */
+  /** Deterministic synthetic media table. IMAGE rows are real files —
+    * PNG for media_id % 6 == 0, BMP for % 6 == 3 — whose byte lengths
+    * follow the closed forms in [[ImageHeaders]]; audio/video rows are
+    * magic-tagged stub payloads. Metadata (and image byte lengths) are
+    * arithmetic over media_id, so the DuckDB oracle independently
+    * verifies the encode→decode round trip against the REAL header
+    * parse; only payload body/pixel bytes are seeded-random. */
   def synth(spark: SparkSession, n: Long, partitions: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n, 1L, partitions).map { i =>
@@ -48,8 +54,12 @@ object Multimodal {
       val h = (16 + (i * 104729L) % 64).toInt
       val frames = if (kind == "video") (1 + (i * 13L) % 30).toInt else 1
       val bodyLen = (64 + (i * 31L) % 192).toInt
-      MediaRow(i, kind,
-        MediaCodecStub.encode(kind, w, h, frames, bodyLen, r), w, h)
+      val payload =
+        if (kind == "image") {
+          if (i % 6 == 0L) ImageHeaders.encodePng(w, h, seed = 0xface + i)
+          else ImageHeaders.encodeBmp(w, h, seed = 0xface + i)
+        } else MediaCodecStub.encode(kind, w, h, frames, bodyLen, r)
+      MediaRow(i, kind, payload, w, h)
     }
   }
 
@@ -87,10 +97,12 @@ object Multimodal {
   }
 }
 
-/** STUB codec — deterministic fake in place of real image/audio decoding.
-  * Payload format: magic "GMM1" + kind byte + width + height + frames +
-  * body bytes. A real deployment swaps this object for JNI/codec calls;
-  * the Spark plumbing above is unchanged. */
+/** AUDIO/VIDEO codec stub — deterministic fake in place of real AV
+  * decoding (payload format: magic "GMM1" + kind byte + width + height
+  * + frames + body bytes; a real deployment swaps the GMM1 branch for
+  * JNI/codec calls — the Spark plumbing above is unchanged). IMAGE
+  * payloads are NOT stubbed: real PNG/BMP bytes are recognized first
+  * and parsed by [[ImageHeaders]]. */
 object MediaCodecStub {
   private val Magic = Array[Byte]('G', 'M', 'M', '1')
 
@@ -108,9 +120,18 @@ object MediaCodecStub {
     bb.array()
   }
 
-  /** Returns (kind, width, height, frames) or None for undecodable. */
+  /** Returns (kind, width, height, frames) or None for undecodable.
+    * Real PNG/BMP containers are recognized by their own magic and
+    * parsed from their actual headers; the GMM1 stub format covers
+    * audio/video. */
   def decode(payload: Array[Byte]): Option[(String, Int, Int, Int)] = {
     if (payload == null || payload.length < 17) return None
+    ImageHeaders.decodePng(payload).foreach { case (w, h, _) =>
+      return Some(("image", w, h, 1))
+    }
+    ImageHeaders.decodeBmp(payload).foreach { case (w, h, _) =>
+      return Some(("image", w, h, 1))
+    }
     if (payload(0) != 'G' || payload(1) != 'M' || payload(2) != 'M' ||
         payload(3) != '1') return None
     val bb = java.nio.ByteBuffer.wrap(payload, 4, 13)

@@ -11,8 +11,10 @@ import java.util.zip.Inflater
   * clusters into columns/lines (the analog of the `scripts/` column-profile
   * analysis, e.g. scripts/card_column_analysis.py:11-114).
   *
-  * Supported: uncompressed and FlateDecode content streams; Tj/TJ/quote
-  * show ops; Td, TD, Tm, T-star, TL positioning; literal and hex strings.
+  * Supported: uncompressed, FlateDecode, LZWDecode, ASCIIHexDecode,
+  * ASCII85Decode and RunLengthDecode content streams (and filter
+  * ARRAYS, applied first-to-last); Tj/TJ/quote show ops; Td, TD, Tm,
+  * T-star, TL positioning; literal and hex strings.
   * Caps: ≤ `MaxPages` pages (reference cap, pdf_converter.py:28).
   */
 object PdfParser {
@@ -121,8 +123,7 @@ object PdfParser {
           if (dataEnd > dataStart && doc.charAt(dataEnd - 1) == '\n') dataEnd -= 1
           if (dataEnd > dataStart && doc.charAt(dataEnd - 1) == '\r') dataEnd -= 1
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          val payload =
-            if (dict.contains("/FlateDecode")) inflate(raw) else raw
+          val payload = decodeStream(dict, raw)
           out += num -> PdfObj(dict,
             Option(payload).map(p =>
               new String(p, java.nio.charset.StandardCharsets.ISO_8859_1)))
@@ -480,8 +481,7 @@ object PdfParser {
           if (dataEnd > dataStart && doc.charAt(dataEnd - 1) == '\n') dataEnd -= 1
           if (dataEnd > dataStart && doc.charAt(dataEnd - 1) == '\r') dataEnd -= 1
           val raw = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-          val payload =
-            if (dict.contains("/FlateDecode")) inflate(raw) else raw
+          val payload = decodeStream(dict, raw)
           if (payload != null)
             out += new String(payload,
               java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -490,6 +490,199 @@ object PdfParser {
       }
     }
     out.result()
+  }
+
+  // ------------------------------------------------------------------
+  // stream filters (PDF 32000-1 §7.4): FlateDecode, LZWDecode,
+  // ASCIIHexDecode, ASCII85Decode, RunLengthDecode — including filter
+  // ARRAYS (applied first-to-last). Image filters (DCTDecode etc.) and
+  // indirect /Filter refs leave the data as-is; /DecodeParms predictors
+  // are not applied (PNG predictors appear on xref/image streams, not
+  // the text content streams this parser consumes).
+
+  private val filterNameToken =
+    java.util.regex.Pattern.compile("/([A-Za-z0-9]+)")
+
+  /** Filter names in application order; Nil when the stream declares
+    * none (or an unsupported indirect /Filter reference). */
+  private[pdf] def filtersOf(dict: String): List[String] = {
+    var fi = dict.indexOf("/Filter")
+    while (fi >= 0) {
+      var j = fi + "/Filter".length
+      while (j < dict.length && Character.isWhitespace(dict.charAt(j))) j += 1
+      if (j < dict.length && dict.charAt(j) == '[') {
+        val rb = dict.indexOf(']', j)
+        val body = if (rb < 0) dict.substring(j + 1) else dict.substring(j + 1, rb)
+        val m = filterNameToken.matcher(body)
+        val b = List.newBuilder[String]
+        while (m.find()) b += m.group(1)
+        return b.result()
+      } else if (j < dict.length && dict.charAt(j) == '/') {
+        val m = filterNameToken.matcher(dict)
+        if (m.find(j)) return List(m.group(1))
+      }
+      // "/FilterXyz" or a ref — try a later occurrence
+      fi = dict.indexOf("/Filter", fi + 7)
+    }
+    Nil
+  }
+
+  /** Apply the stream's declared filter chain; null on corrupt data
+    * (caller treats as undecodable). Unknown filters pass data through
+    * unchanged (image codecs never reach the text interpreter — it
+    * gates on "BT"). */
+  private[pdf] def decodeStream(dict: String, raw: Array[Byte]): Array[Byte] = {
+    var data = raw
+    filtersOf(dict).foreach { f =>
+      if (data != null) data = f match {
+        case "FlateDecode" | "Fl" => inflate(data)
+        case "LZWDecode" | "LZW" => lzwDecode(data)
+        case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+        case "ASCII85Decode" | "A85" => ascii85Decode(data)
+        case "RunLengthDecode" | "RL" => runLengthDecode(data)
+        case _ => data
+      }
+    }
+    data
+  }
+
+  /** ASCIIHexDecode: hex pairs, whitespace ignored, `>` terminates, an
+    * odd trailing digit is padded with 0 (spec §7.4.2). */
+  private[pdf] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode: 5 chars (!..u) → 4 bytes base-85; `z` = four zero
+    * bytes; `~>` terminates; a partial group of n chars yields n−1
+    * bytes after padding with 'u' (spec §7.4.3). */
+  private[pdf] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+      var tuple = 0L
+      var cnt = 0
+      var i = 0
+      if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+      var done = false
+      while (i < data.length && !done) {
+        val c = data(i).toChar
+        if (c == '~') done = true
+        else if (c == 'z' && cnt == 0) {
+          out.write(0); out.write(0); out.write(0); out.write(0)
+        } else if (c >= '!' && c <= 'u') {
+          tuple = tuple * 85 + (c - '!')
+          cnt += 1
+          if (cnt == 5) {
+            out.write(((tuple >> 24) & 0xff).toInt)
+            out.write(((tuple >> 16) & 0xff).toInt)
+            out.write(((tuple >> 8) & 0xff).toInt)
+            out.write((tuple & 0xff).toInt)
+            tuple = 0L; cnt = 0
+          }
+        } // anything else (whitespace): skip
+        i += 1
+      }
+      if (cnt > 1) {
+        var t = tuple
+        var p = cnt
+        while (p < 5) { t = t * 85 + 84; p += 1 } // pad with 'u'
+        val bs = Array(((t >> 24) & 0xff).toByte, ((t >> 16) & 0xff).toByte,
+          ((t >> 8) & 0xff).toByte, (t & 0xff).toByte)
+        out.write(bs, 0, cnt - 1)
+      }
+      out.toByteArray
+    } catch { case _: Exception => null }
+  }
+
+  /** RunLengthDecode: length byte L ∈ [0,127] copies the next L+1 bytes
+    * literally; L ∈ [129,255] repeats the next byte 257−L times; 128 is
+    * EOD (spec §7.4.5). */
+  private[pdf] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 2))
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        val n = math.min(l + 1, data.length - i)
+        out.write(data, i, n)
+        i += n
+      } else if (i < data.length) {
+        val b = data(i) & 0xff
+        i += 1
+        var r = 257 - l
+        while (r > 0) { out.write(b); r -= 1 }
+      } else done = true
+    }
+    out.toByteArray
+  }
+
+  /** LZWDecode (spec §7.4.4, TIFF-style): 9→12-bit codes MSB-first,
+    * 256 = clear table, 257 = EOD, entries from 258; code width grows
+    * one entry EARLY (EarlyChange default 1: at table sizes 511, 1023,
+    * 2047). Truncated/invalid input yields the bytes decoded so far. */
+  private[pdf] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+      val table = new Array[Array[Byte]](4096)
+      var dictSize = 258
+      var codeBits = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L
+      var bitCnt = 0
+      var i = 0
+      var done = false
+      while (!done) {
+        while (bitCnt < codeBits && i < data.length) {
+          bitBuf = (bitBuf << 8) | (data(i) & 0xff)
+          bitCnt += 8
+          i += 1
+        }
+        if (bitCnt < codeBits) done = true // truncated input
+        else {
+          val code =
+            ((bitBuf >> (bitCnt - codeBits)) & ((1 << codeBits) - 1)).toInt
+          bitCnt -= codeBits
+          if (code == 256) { dictSize = 258; codeBits = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry: Array[Byte] =
+              if (code < 256) Array(code.toByte)
+              else if (code < dictSize && table(code) != null) table(code)
+              else if (prev != null) prev :+ prev(0) // KwKwK
+              else return out.toByteArray // invalid leading code
+            out.write(entry, 0, entry.length)
+            if (prev != null && dictSize < 4096) {
+              table(dictSize) = prev :+ entry(0)
+              dictSize += 1
+            }
+            prev = entry
+            if (codeBits < 12 && dictSize + 1 >= (1 << codeBits))
+              codeBits += 1 // EarlyChange = 1
+            if (out.size > (64 << 20)) done = true
+          }
+        }
+      }
+      out.toByteArray
+    } catch { case _: Exception => null }
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

@@ -155,6 +155,7 @@ object Extractor {
 
     ExtractResult(
       url = row.url,
+      warc_ts = row.warc_ts,
       text = text,
       confidence = confidence,
       document_type = docType,
@@ -198,6 +199,7 @@ object Extractor {
   private def failed(row: PageRow, error: String): ExtractResult =
     ExtractResult(
       url = row.url,
+      warc_ts = row.warc_ts,
       text = "",
       confidence = 0.0,
       document_type = "generic_document",

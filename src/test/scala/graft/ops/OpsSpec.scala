@@ -202,7 +202,7 @@ class OpsSpec extends AnyFunSuite {
     assert(ValidationGate.distribution(results).count() > 0)
   }
 
-  test("multimodal features: stub codec roundtrip, batched extraction") {
+  test("multimodal features: codec roundtrip, batched extraction") {
     val media = Multimodal.synth(spark, 50, 2)
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 50)
@@ -213,6 +213,44 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(
       Multimodal.extractFeatures(media), stride = 5)
     assert(frames.count() >= 50)
+    // image rows are REAL containers: widths/heights were read back out
+    // of actual PNG/BMP headers and match the generator arithmetic
+    val images = feats.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    images.foreach { f =>
+      assert(f.width == (16 + (f.media_id * 7919L) % 64).toInt, f.toString)
+      assert(f.height == (16 + (f.media_id * 104729L) % 64).toInt, f.toString)
+    }
+  }
+
+  test("ImageHeaders: valid PNG/BMP encode → header parse round trip") {
+    val png = ImageHeaders.encodePng(33, 21, seed = 7)
+    assert(ImageHeaders.isPng(png))
+    assert(ImageHeaders.decodePng(png) == Some((33, 21, 8)))
+    assert(png.length == 68 + 21 * (1 + 3 * 33)) // closed-form length
+    // the PNG is VALID: java's ImageIO isn't present, but the zlib
+    // stream must inflate to exactly h*(1+3w) filter+pixel bytes
+    val idatLen = ((png(33) & 0xff) << 24) | ((png(34) & 0xff) << 16) |
+      ((png(35) & 0xff) << 8) | (png(36) & 0xff)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(png, 8 + 25 + 8, idatLen)
+    val out = new Array[Byte](21 * (1 + 3 * 33) + 16)
+    val n = inf.inflate(out)
+    assert(n == 21 * (1 + 3 * 33), s"inflated $n")
+
+    val bmp = ImageHeaders.encodeBmp(33, 21, seed = 7)
+    assert(ImageHeaders.isBmp(bmp))
+    assert(ImageHeaders.decodeBmp(bmp) == Some((33, 21, 24)))
+    assert(bmp.length == 54 + 21 * (((3 * 33 + 3) / 4) * 4))
+    // top-down BMP (negative height) reports magnitude
+    val neg = bmp.clone()
+    val hNeg = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-21).array()
+    System.arraycopy(hNeg, 0, neg, 22, 4)
+    assert(ImageHeaders.decodeBmp(neg) == Some((33, 21, 24)))
+    // garbage rejected
+    assert(ImageHeaders.decodePng("nope".getBytes) == None)
+    assert(ImageHeaders.decodeBmp(Array.fill[Byte](60)(0)) == None)
   }
 
   test("binaryFile source reads files as pages") {
@@ -522,6 +560,27 @@ class OpsSpec extends AnyFunSuite {
       .select($"doc_type", $"accuracy_score", $"pattern_id")
       .as[(String, Double, Long)].collect().sortBy(_._1)
     assert(best(2).sameElements(best(16)))
+  }
+
+  test("learning store retention keeps the NEWEST patterns by warc_ts") {
+    // reference semantics (learning_engine.py:135-136): newest-N per
+    // type by real ingestion time — must hold under a shuffled row
+    // order, not just the arrival order of a single partition
+    val results = graft.pipeline.ExtractPipeline.extract(
+      graft.pipeline.ExtractPipeline.pages(spark, 200, 4), 4).toDF()
+    val pats = LearningStore.fromPipeline(results.repartition(16))
+    val all = pats.select($"doc_type", $"created_at", $"pattern_id")
+      .as[(String, Long, Long)].collect()
+    val kept = LearningStore.applyRetention(pats, keep = 10)
+      .select($"doc_type", $"created_at", $"pattern_id")
+      .as[(String, Long, Long)].collect()
+    val expect = all.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._2, r._3)).take(10).toSeq
+    }.toSet
+    assert(kept.toSet == expect)
+    // created_at really is the crawl time (seconds), not a hash order
+    assert(all.map(_._2).distinct.length == all.length)
+    assert(all.map(_._2).min > 1000000000L) // epoch seconds, not hashes
   }
 
   test("lineage existence check resolves file:// URIs via Hadoop FS") {

@@ -68,6 +68,172 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(PdfParser.extractText(bytes) == "Compressed hello")
   }
 
+  // ---- stream filters beyond Flate ---------------------------------
+
+  /** Reference TIFF/PDF LZW encoder (EarlyChange = 1) for roundtrip
+    * tests: 9→12-bit codes MSB-first, clear = 256, EOD = 257. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val table = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    for (b <- 0 until 256) table(Seq(b.toByte)) = b
+    var dictSize = 258
+    var codeBits = 9
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << codeBits) | code
+      bitCnt += codeBits
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    emit(256) // leading clear (common in real encoders)
+    var w = Seq.empty[Byte]
+    data.foreach { c =>
+      val wc = w :+ c
+      if (table.contains(wc)) w = wc
+      else {
+        emit(table(w))
+        if (dictSize < 4096) {
+          table(wc) = dictSize
+          dictSize += 1
+          // encoder switches one ADD later than the decoder's
+          // (dictSize + 1) rule: the decoder's table lags by one entry
+          // at read time, so both sides widen before the same code
+          if (codeBits < 12 && dictSize >= (1 << codeBits)) codeBits += 1
+        }
+        w = Seq(c)
+      }
+    }
+    if (w.nonEmpty) emit(table(w))
+    emit(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Build a one-object PDF whose stream carries `payload` with the
+    * given /Filter entry. */
+  private def filteredPdf(filterEntry: String, payload: Array[Byte]): Array[Byte] =
+    (s"%PDF-1.4\n1 0 obj << /Length ${payload.length} " +
+      s"/Filter $filterEntry >>\nstream\n").getBytes(UTF_8) ++ payload ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+
+  private val filterContent =
+    "BT /F1 12 Tf 72 720 Td (Filtered hello) Tj 0 -14 Td (line two) Tj ET"
+  private val filterExpect = "Filtered hello\nline two"
+
+  test("ASCIIHexDecode streams decode (whitespace + odd digit + >)") {
+    val hex = filterContent.getBytes(UTF_8)
+      .map(b => f"${b & 0xff}%02X").mkString(" ") + " >"
+    assert(PdfParser.extractText(
+      filteredPdf("/ASCIIHexDecode", hex.getBytes(UTF_8))) == filterExpect)
+    // odd trailing digit pads with 0
+    assert(PdfParser.asciiHexDecode("41424 >".getBytes(UTF_8))
+      .sameElements(Array[Byte]('A', 'B', 0x40)))
+  }
+
+  test("ASCII85Decode streams decode (z shortcut, partial group, ~>)") {
+    // encode with a reference implementation in the test
+    def enc(data: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < data.length) {
+        val n = math.min(4, data.length - i)
+        var t = 0L
+        for (j <- 0 until 4)
+          t = (t << 8) | (if (i + j < data.length) data(i + j) & 0xff else 0)
+        if (n == 4 && t == 0L) sb += 'z'
+        else {
+          val cs = new Array[Char](5)
+          var v = t
+          for (j <- 4 to 0 by -1) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+          sb.appendAll(cs, 0, n + 1)
+        }
+        i += n
+      }
+      sb.append("~>").toString
+    }
+    val payload = enc(filterContent.getBytes(UTF_8))
+    assert(PdfParser.extractText(
+      filteredPdf("/ASCII85Decode", payload.getBytes(UTF_8))) == filterExpect)
+    // z = four zero bytes
+    assert(PdfParser.ascii85Decode("z~>".getBytes(UTF_8))
+      .sameElements(Array[Byte](0, 0, 0, 0)))
+  }
+
+  test("RunLengthDecode streams decode (literal + run + EOD)") {
+    // hand-built chunks: literal, 40-byte run of 'u', literal, EOD
+    val head = "BT /F1 12 Tf 72 720 Td (r".getBytes(UTF_8)
+    val tail = "n) Tj ET".getBytes(UTF_8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head.length - 1); out.write(head, 0, head.length)
+    out.write(257 - 40); out.write('u') // run: repeat 'u' 40 times
+    out.write(tail.length - 1); out.write(tail, 0, tail.length)
+    out.write(128) // EOD
+    val raw = head ++ Array.fill(40)('u'.toByte) ++ tail
+    assert(PdfParser.runLengthDecode(out.toByteArray).sameElements(raw))
+    assert(PdfParser.extractText(
+      filteredPdf("/RunLengthDecode", out.toByteArray)) ==
+      "r" + "u" * 40 + "n")
+  }
+
+  test("LZWDecode streams decode (incl. table growth past 9 bits)") {
+    // content long enough to push the table past 511 entries (10-bit
+    // codes) so the EarlyChange width switch is exercised
+    val long = (0 until 300).map(i => s"(w$i x${i * 7 % 97}) Tj 0 -2 Td")
+      .mkString("BT /F1 4 Tf 72 9000 Td ", " ", " ET")
+    val raw = long.getBytes(UTF_8)
+    val encoded = lzwEncode(raw)
+    assert(PdfParser.lzwDecode(encoded).sameElements(raw),
+      "lzw roundtrip mismatch")
+    // and through the full parser on a simple doc
+    val simple = "BT /F1 12 Tf 72 720 Td (Filtered hello) Tj 0 -14 Td (line two) Tj ET"
+    assert(PdfParser.extractText(
+      filteredPdf("/LZWDecode", lzwEncode(simple.getBytes(UTF_8)))) ==
+      filterExpect)
+    // KwKwK pattern (code == dictSize at decode time)
+    val kwk = "ababababab".getBytes(UTF_8)
+    assert(PdfParser.lzwDecode(lzwEncode(kwk)).sameElements(kwk))
+  }
+
+  test("filter arrays apply first-to-last: [/ASCII85Decode /FlateDecode]") {
+    val deflater = new java.util.zip.Deflater()
+    val raw = filterContent.getBytes(UTF_8)
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](4096)
+    val n = deflater.deflate(buf)
+    val compressed = java.util.Arrays.copyOf(buf, n)
+    // writer order: deflate first, THEN ascii85-armor — the reader
+    // must undo ascii85 first, then inflate
+    def enc85(data: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < data.length) {
+        val k = math.min(4, data.length - i)
+        var t = 0L
+        for (j <- 0 until 4)
+          t = (t << 8) | (if (i + j < data.length) data(i + j) & 0xff else 0)
+        if (k == 4 && t == 0L) sb += 'z'
+        else {
+          val cs = new Array[Char](5)
+          var v = t
+          for (j <- 4 to 0 by -1) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+          sb.appendAll(cs, 0, k + 1)
+        }
+        i += k
+      }
+      sb.append("~>").toString
+    }
+    val armored = enc85(compressed).getBytes(UTF_8)
+    assert(PdfParser.extractText(
+      filteredPdf("[ /ASCII85Decode /FlateDecode ]", armored)) == filterExpect)
+    assert(PdfParser.filtersOf("<< /Filter [ /ASCII85Decode /FlateDecode ] >>")
+      == List("ASCII85Decode", "FlateDecode"))
+    assert(PdfParser.filtersOf("<< /Filter /FlateDecode >>")
+      == List("FlateDecode"))
+    assert(PdfParser.filtersOf("<< /Length 5 >>") == Nil)
+  }
+
   test("quote operator advances line") {
     val content = "BT /F1 12 Tf 14 TL 72 720 Td (a) Tj (b) ' ET"
     assert(PdfParser.extractText(pdf(content)) == "a\nb")
