@@ -190,7 +190,12 @@ object Bench {
     // 1) headline query timings at the configured parallelism.
     //    A full untimed warm-up pass runs first so whole-JVM JIT/codegen
     //    cost lands there, not on whichever query sorts first (q10 paid
-    //    ~7 s of warm-up in round 1's numbers).
+    //    ~7 s of warm-up in round 1's numbers). The timed measurement is
+    //    the per-query MIN over two passes: residual one-off costs
+    //    (lazy codegen compiles, first broadcast of a dim table, a
+    //    steal episode) kept landing on a different victim each round
+    //    (q2 in r3, q16/q17 in r2) and polluting round-over-round
+    //    comparisons.
     val spark = session(cpus)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     var results = Seq.empty[(String, Double)]
@@ -201,11 +206,14 @@ object Bench {
       ordered.foreach { case (_, fn) =>
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
-      results = ordered.map { case (name, fn) =>
+      def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9
       }
+      val p1 = timedPass()
+      val p2 = timedPass()
+      results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
       recalls = annRecalls(spark, sfDir)
       drops = ivfDrops(spark, sfDir)
       lshDropCount = lshDrops(spark, sfDir)

@@ -19,7 +19,7 @@ import graft.sources.Sources
 object ExtractJob {
 
   private val KnownOpts =
-    Set("input", "output", "lineage", "run-id", "buckets")
+    Set("input", "output", "lineage", "run-id", "buckets", "narrow")
 
   def main(args: Array[String]): Unit = {
     // strict parsing: a dangling or unknown flag must not silently fall
@@ -28,7 +28,7 @@ object ExtractJob {
         !p(0).startsWith("--") || !KnownOpts.contains(p(0).drop(2)))) {
       System.err.println(
         "usage: ExtractJob --input <parquet|synth:N> --output <dir> " +
-          "--lineage <dir> --run-id <id> [--buckets B]")
+          "--lineage <dir> --run-id <id> [--buckets B] [--narrow true]")
       sys.exit(2)
     }
     val opts = args.sliding(2, 2).collect {
@@ -60,8 +60,13 @@ object ExtractJob {
         ExtractPipeline.pages(spark, n, buckets)
       } else Sources.pagesTable(spark, input)
 
+    // --narrow true: write only (url, text, status, bytes_in, bucket) —
+    // half the output bytes for consumers that don't need the
+    // fields/cards/analytics structs
+    val narrow = opts.get("narrow").exists(_.toBoolean)
     val summary =
-      ExtractPipeline.run(spark, pages, output, lineage, runId, buckets)
+      ExtractPipeline.run(spark, pages, output, lineage, runId, buckets,
+        ExtractPipeline.DefaultSalt, narrowOutput = narrow)
     // one summary line for the orchestrator
     println(
       s"""{"run_id":"${summary.runId}","buckets":${summary.bucketsTotal},""" +

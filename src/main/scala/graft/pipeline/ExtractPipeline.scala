@@ -223,9 +223,10 @@ object ExtractPipeline {
       lineageDir: String,
       runId: String,
       buckets: Int,
-      salt: Int = DefaultSalt): RunSummary =
+      salt: Int = DefaultSalt,
+      narrowOutput: Boolean = false): RunSummary =
     run(spark, pagesDs, new ParquetCommitProtocol(outDir, lineageDir),
-      runId, buckets, salt)
+      runId, buckets, salt, narrowOutput)
 
   /** Sink-agnostic variant: all persistence goes through `protocol`.
     *
@@ -244,7 +245,24 @@ object ExtractPipeline {
       protocol: CommitProtocol,
       runId: String,
       buckets: Int,
-      salt: Int): RunSummary = {
+      salt: Int): RunSummary =
+    run(spark, pagesDs, protocol, runId, buckets, salt,
+      narrowOutput = false)
+
+  /** `narrowOutput = true` writes only (url, text, status, bytes_in,
+    * bucket) — consumers that don't need fields/cards/analytics halve
+    * their output bytes (at 10^12 docs the analytics structs are
+    * roughly half the row). Resume/lineage semantics are identical in
+    * both modes (bucket + the lineage-bearing columns survive the
+    * projection). */
+  def run(
+      spark: SparkSession,
+      pagesDs: Dataset[PageRow],
+      protocol: CommitProtocol,
+      runId: String,
+      buckets: Int,
+      salt: Int,
+      narrowOutput: Boolean): RunSummary = {
     import spark.implicits._
 
     val committed: Set[Int] = protocol.committedBuckets(spark, runId)
@@ -259,7 +277,7 @@ object ExtractPipeline {
     val acc = new BucketMetricsAcc
     spark.sparkContext.register(acc, s"graft.bucketMetrics.$runId")
 
-    val results = todo
+    val wide = todo
       .repartition(buckets, col("bucket"))
       .as[PageRowWithBucket]
       .mapPartitions { it =>
@@ -274,6 +292,10 @@ object ExtractPipeline {
         }
       }
       .select(col("result.*"), col("bucket"))
+    val results =
+      if (!narrowOutput) wide
+      else wide.select(col("url"), col("text"), col("status"),
+        col("bytes_in"), col("bucket"))
 
     // idempotent write: a replayed bucket replaces only its own output —
     // for a contract-upholding protocol this is the ONE action over the

@@ -116,12 +116,17 @@ object Extractor {
     // final text (T4; _build_response, ocr_engine.py:2112-2113)
     val text = CardScore.markUncertainPartialCardTail(sanitizedText)
     val lower = text.toLowerCase // shared across all keyword operators
+    // one fold-safety scan per document, shared by every indexOf-probe
+    // fast path (FieldExtractor gates, Quality/LangHints word matchers)
+    val foldSafe =
+      lower.length == text.length && !graft.text.hasFoldDivergent(text)
     val (docType, typeConfRaw, cards) =
       CardIntel.analyzeLower(text, lower, layoutType)
     val typeConfidence = pyRound(typeConfRaw, 2)
-    val (fields, warnings) = FieldExtractor.extractLower(text, lower, docType)
+    val (fields, warnings) = FieldExtractor.extractLower(text, lower, docType,
+      FieldExtractor.DefaultRunYear, foldSafe)
     val confidence = Confidence.calculateLower(text, lower)
-    val quality = Quality.evaluate(text, docType)
+    val quality = Quality.evaluate(text, docType, Some(foldSafe))
 
     val status =
       if (quality.classification == "GOOD") "OK"
@@ -149,7 +154,7 @@ object Extractor {
       text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toDouble /
         math.max(1, row.html.length), 4)
 
-    val (lang, country) = LangHints.detectLower(text, lower)
+    val (lang, country) = LangHints.detectLower(text, lower, foldSafe)
     // readability_index = clamped confidence, 4 dp (ocr_engine.py:2134)
     val readability = pyRound(math.max(0.0, math.min(1.0, confidence)), 4)
 

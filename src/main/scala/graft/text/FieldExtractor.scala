@@ -555,14 +555,18 @@ object FieldExtractor {
 
   /** extract() with a caller-provided lowercase copy. */
   def extractLower(text: String, lower: String, documentType: String,
-      runYear: Int = DefaultRunYear): (List[FieldRow], List[String]) = {
+      runYear: Int = DefaultRunYear): (List[FieldRow], List[String]) =
+    extractLower(text, lower, documentType, runYear,
+      lower.length == text.length && !graft.text.hasFoldDivergent(text))
+
+  /** extractLower() with the caller-precomputed fold-safety verdict. */
+  def extractLower(text: String, lower: String, documentType: String,
+      runYear: Int, foldSafe: Boolean): (List[FieldRow], List[String]) = {
     if (GenericDocTypes.contains(documentType)) return (Nil, Nil)
     val definitions =
       FieldDefinitions.getOrElse(documentType, FieldDefinitions("id_document"))
 
     val runLen = graft.text.maxDigitRun(text)
-    val foldSafe =
-      lower.length == text.length && !graft.text.hasFoldDivergent(text)
     val fields = List.newBuilder[FieldRow]
     val warnings = List.newBuilder[String]
     definitions.foreach { d =>

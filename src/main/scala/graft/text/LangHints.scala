@@ -43,11 +43,17 @@ object LangHints {
   }
 
   /** detect() with a caller-provided lowercase copy. */
-  def detectLower(t: String, lower: String): (String, String) = {
+  def detectLower(t: String, lower: String): (String, String) =
     // length check catches 1:2 lowercasing (U+0130); hasFoldDivergent
     // catches same-length fold divergence (U+0131/U+017F/U+212A) that
     // would make the indexOf probe disagree with the Pattern
-    val aligned = lower.length == t.length && !graft.text.hasFoldDivergent(t)
+    detectLower(t, lower,
+      lower.length == t.length && !graft.text.hasFoldDivergent(t))
+
+  /** Variant with the caller-precomputed fold-safety verdict. */
+  def detectLower(t: String, lower: String,
+      foldSafe: Boolean): (String, String) = {
+    val aligned = foldSafe
     Hints.collectFirst {
       case (pat, alts, lang, country)
           if (if (aligned) WordAlts.has(lower, alts)

@@ -128,7 +128,15 @@ object Quality {
       (if (hasW(lower, totalAlts, totalLike, text, aligned)) 1 else 0) +
       (if (hasCurrencyToken(lower) && has(currency, text)) 1 else 0)
 
-  def evaluate(rawText: String, documentType: String): QualityResult = {
+  def evaluate(rawText: String, documentType: String): QualityResult =
+    evaluate(rawText, documentType, foldSafeHint = None)
+
+  /** Variant with the caller-precomputed fold-safety verdict (one scan
+    * per document across all keyword operators). Valid because
+    * `pyStrip` only removes whitespace, which always lowercases 1:1 and
+    * is never fold-divergent — foldSafe(raw) == foldSafe(stripped). */
+  def evaluate(rawText: String, documentType: String,
+      foldSafeHint: Option[Boolean]): QualityResult = {
     // Python str.strip() semantics (Unicode whitespace), see pyStrip
     val text = pyStrip(if (rawText == null) "" else rawText)
     if (text.isEmpty)
@@ -151,8 +159,8 @@ object Quality {
       // length check catches 1:2 lowercasing; hasFoldDivergent catches
       // same-length divergence (incl. U+212A Kelvin → 'k', which would
       // false-positive the probe copy vs these ASCII-CI patterns)
-      val aligned =
-        lower.length == text.length && !graft.text.hasFoldDivergent(text)
+      val aligned = foldSafeHint.getOrElse(
+        lower.length == text.length && !graft.text.hasFoldDivergent(text))
       if (docType == "bank_statement") {
         val hits = bankStatementHits(text, lower, aligned)
         if (hits < 2) reasons += "BANK_STATEMENT_SIGNALS_WEAK"

@@ -61,6 +61,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 300)
   }
 
+  test("narrow output mode writes 5 columns; resume still exactly-once") {
+    val out = tmp() + "/out"
+    val lin = tmp() + "/lineage"
+    val pages = ExtractPipeline.pages(spark, 300, 4)
+    val s1 = ExtractPipeline.run(spark, pages, out, lin, "runN", buckets = 8,
+      narrowOutput = true)
+    assert(s1.bucketsProcessed == 8 && s1.docsIn == 300)
+    val df = spark.read.parquet(out)
+    assert(df.columns.sorted.toSeq ==
+      Seq("bucket", "bytes_in", "status", "text", "url"))
+    assert(df.count() == 300)
+    // rerun: no-op resume, identical in narrow mode
+    val s2 = ExtractPipeline.run(spark, pages, out, lin, "runN", buckets = 8,
+      narrowOutput = true)
+    assert(s2.bucketsSkipped == 8 && s2.bucketsProcessed == 0)
+    assert(spark.read.parquet(out).count() == 300)
+    // text identical to the wide mode's for the same input
+    import spark.implicits._
+    val narrowTexts = df.select($"url", $"text").as[(String, String)]
+      .collect().sortBy(_._1)
+    val wideTexts = ExtractPipeline.extract(pages, 8)
+      .map(r => (r.url, r.text)).collect().sortBy(_._1)
+    assert(narrowTexts.sameElements(wideTexts))
+  }
+
   test("kill-after-partial-commit resume: no duplicates, no loss") {
     import spark.implicits._
     val base = tmp()
