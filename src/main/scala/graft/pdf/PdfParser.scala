@@ -144,6 +144,57 @@ object PdfParser {
     if (guard >= 10000 && from < doc.length && m.find(from))
       log.warn(s"parseObjects: 10000-object guard truncated the scan " +
         s"(${doc.length} bytes; objects beyond offset $from were dropped)")
+    val base = out.result()
+    // PDF 1.5+ object streams: /Type /ObjStm payloads hold N compressed
+    // objects (page/font/encoding dicts of most modern PDFs). Unpack
+    // them into the object table; a top-level object with the same
+    // number wins (incremental updates append uncompressed overrides).
+    val unpacked = base.values
+      .filter(o => o.dict.contains("/ObjStm") && o.stream.isDefined)
+      .flatMap(o => unpackObjStm(o))
+      .filterNot { case (num, _) => base.contains(num) }
+    if (unpacked.isEmpty) base else base ++ unpacked
+  }
+
+  private val intToken = java.util.regex.Pattern.compile("\\d+")
+
+  private def intAfter(dict: String, key: String): Int = {
+    val i = dict.indexOf(key)
+    if (i < 0) return -1
+    val m = intToken.matcher(dict)
+    if (m.find(i + key.length)) m.group().toInt else -1
+  }
+
+  /** Embedded (objNum → dict) pairs of one /ObjStm payload: header is
+    * N (objnum, offset) integer pairs, bodies start at /First. Objects
+    * inside an ObjStm are dict-only (the spec forbids nested streams). */
+  private[pdf] def unpackObjStm(o: PdfObj): List[(Int, PdfObj)] = {
+    val s = o.stream.getOrElse(return Nil)
+    val n = intAfter(o.dict, "/N")
+    val first = intAfter(o.dict, "/First")
+    if (n <= 0 || n > 10000 || first <= 0 || first > s.length) return Nil
+    val m = intToken.matcher(s.substring(0, first))
+    val header = new Array[Int](2 * n)
+    var i = 0
+    while (i < 2 * n && m.find()) {
+      header(i) =
+        try m.group().toInt
+        catch { case _: NumberFormatException => return Nil }
+      i += 1
+    }
+    if (i < 2 * n) return Nil
+    val out = List.newBuilder[(Int, PdfObj)]
+    var k = 0
+    while (k < n) {
+      val num = header(2 * k)
+      val start = first + header(2 * k + 1)
+      val end =
+        if (k + 1 < n) math.min(s.length, first + header(2 * k + 3))
+        else s.length
+      if (start >= 0 && start <= end)
+        out += num -> PdfObj(s.substring(start, end), None)
+      k += 1
+    }
     out.result()
   }
 

@@ -404,6 +404,40 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(PdfParser.extractText(bytes) == "café")
   }
 
+  test("PDF 1.5 object streams: page tree inside a compressed /ObjStm") {
+    // catalog + pages + page dicts live INSIDE a FlateDecode /ObjStm
+    // (how modern writers emit them); only the content stream is a
+    // regular top-level object
+    val embedded = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    val bodies = embedded.map(_._2)
+    val offsets = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = embedded.map(_._1).zip(offsets)
+      .map { case (num, off) => s"$num $off" }.mkString(" ") + " "
+    val payload = header + bodies.mkString("\n") + "\n"
+    val first = header.length
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(payload.getBytes(UTF_8)); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val zn = deflater.deflate(buf)
+    val z = java.util.Arrays.copyOf(buf, zn)
+    val content = "BT /F1 12 Tf 72 720 Td (From an object stream) Tj ET"
+    val bytes = ("%PDF-1.5\n" +
+      s"5 0 obj << /Type /ObjStm /N 3 /First $first /Length $zn " +
+      "/Filter /FlateDecode >>\nstream\n").getBytes(UTF_8) ++ z ++
+      ("\nendstream\nendobj\n" +
+        s"4 0 obj << /Length ${content.length} >>\nstream\n$content" +
+        "\nendstream\nendobj\n%%EOF\n").getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) == "From an object stream")
+    // top-level objects override same-numbered embedded ones
+    val o = PdfParser.PdfObj("<< /Type /ObjStm /N 1 /First 4 >>",
+      Some("9 0 << /A 1 >>"))
+    assert(PdfParser.unpackObjStm(o) == List(9 ->
+      PdfParser.PdfObj("<< /A 1 >>", None)))
+  }
+
   test("garbage never throws") {
     assert(PdfParser.extractText("%PDF-1.4 garbage".getBytes(UTF_8)) == "")
     val r = new java.util.Random(1)
