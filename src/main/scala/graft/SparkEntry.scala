@@ -778,6 +778,47 @@ object SparkEntry {
         "WHEN s_de = greatest(s_en, s_es, s_fr, s_de, s_pt) THEN 'de' " +
         "ELSE 'pt' END AS lang_pred FROM s ORDER BY doc_id"),
 
+    // the auto-routed ANN entry points are EXACT below the size
+    // crossover (lshCrossover/BruteCrossover), and every driver scale
+    // (sf0.01 n=500, sf0.1 n=2000) sits below it — so the full exact
+    // top-5 / all-pairs answer IS the oracle. The approximate machinery
+    // a 10^12-row corpus would run is gated separately by x_ann_recall
+    // (forced path, ≥0.9 vs brute) and the OpsSpec recall suites.
+    "x_ann_lsh" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_inner_product(q.v, c.v) / (sqrt(list_inner_product(q.v, q.v)) * " +
+        "sqrt(list_inner_product(c.v, c.v))) AS cos " +
+        "FROM e q JOIN e c ON c.vec_id <> q.vec_id), " +
+        "r AS (SELECT query_id, neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM j) " +
+        "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
+
+    "x_ann_ivf" ->
+      ("WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "j AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "list_inner_product(q.v, c.v) / (sqrt(list_inner_product(q.v, q.v)) * " +
+        "sqrt(list_inner_product(c.v, c.v))) AS cos " +
+        "FROM e q JOIN e c ON c.vec_id <> q.vec_id), " +
+        "r AS (SELECT query_id, neighbor_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM j) " +
+        "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5 " +
+        "ORDER BY query_id, rank"),
+
+    // exact pre-pass (min-id representative per distinct embedding) +
+    // all-pairs cosine ≥ t — what the auto route computes below the
+    // crossover
+    "x_cosine_neardups" ->
+      ("WITH s AS (SELECT min(vec_id) AS vec_id, embedding FROM embeddings " +
+        "GROUP BY embedding), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM s), " +
+        "p AS (SELECT a.vec_id AS a, b.vec_id AS b, " +
+        "list_inner_product(a.v, b.v) / (sqrt(list_inner_product(a.v, a.v)) * " +
+        "sqrt(list_inner_product(b.v, b.v))) AS cos " +
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
+        "SELECT a, b FROM p WHERE cos >= 0.3 ORDER BY a, b"),
+
     // brute side of the recall gate recomputed independently: every
     // vec_id is a query with min(5, n−1) exact top-k rows; recall_ok
     // must be 1 for both methods (the Spark side flips it to 0 when the
