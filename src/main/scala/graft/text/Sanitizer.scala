@@ -105,14 +105,17 @@ object Sanitizer {
 
     var s = collapseWsStrip(filtered)
 
-    // necessary-condition gates: all three digit-shaped regexes below
-    // need ASCII-digit content (span ≥11 digits, pair ≥3+3, tail ≥3);
-    // one cheap count pass skips them on digit-poor text — none of the
-    // rules adds or removes digits, so one count stays valid throughout
-    val nDigits = graft.text.digitCount(s)
+    // necessary-condition gates, one fused pass (none of the rules adds
+    // or removes digits, so the stats stay valid throughout):
+    //  - longDigitSpan needs ≥11 digits inside ONE run of span chars
+    //    (digits + its separator class + \s) — `maxSpanDigits`; a bare
+    //    total-digit count lets date/amount-rich receipts pay the
+    //    {11,19} quantifier scan for nothing
+    //  - pairSep/trailingSep both open with \d{3,4} — `maxRun ≥ 3`
+    val (nDigits, maxRun, maxSpanDigits) = digitStats(s)
 
     // long digit spans: separators → spaces within the span
-    if (nDigits >= 11) {
+    if (maxSpanDigits >= 11) {
       val m: Matcher = longDigitSpan.matcher(s)
       if (m.find()) {
         val sb = new java.lang.StringBuilder(s.length)
@@ -125,16 +128,48 @@ object Sanitizer {
     }
 
     // fixpoint: dddd-dddd → dddd dddd
-    if (nDigits >= 6) {
+    if (nDigits >= 6 && maxRun >= 3) {
       var previous = ""
       while (previous != s) {
         previous = s
         s = pairSep.matcher(s).replaceAll("$1 $2")
       }
     }
-    if (nDigits >= 3) s = trailingSep.matcher(s).replaceAll("$1")
+    if (nDigits >= 3 && maxRun >= 3) s = trailingSep.matcher(s).replaceAll("$1")
 
     if (s.length > MaxLen) s.substring(0, MaxLen) + "..." else s
+  }
+
+  /** Chars the longDigitSpan separator class admits between digits. */
+  @inline private def isSpanSep(c: Char): Boolean =
+    c == '-' || c == '–' || c == '—' || c == '−' || c == '\\' ||
+      c == '/' || c == '|' || c == '.' || c == ',' || c == ':' ||
+      c == ';' || c == '\'' || c == '‘' || c == '’' || c == '"' ||
+      c == '“' || c == '”'
+
+  /** One pass: (total digits, longest consecutive-digit run, max digit
+    * count within a single run of span-admissible chars). Every
+    * longDigitSpan match lies inside one maximal run of
+    * digit/separator/\s chars, so `maxSpanDigits < 11` proves no match
+    * exists — exact necessary conditions, never behavior changes. */
+  private def digitStats(s: String): (Int, Int, Int) = {
+    var n = 0
+    var run = 0; var maxRun = 0
+    var spanDigits = 0; var maxSpan = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (isPyDigit(c)) {
+        n += 1
+        run += 1; if (run > maxRun) maxRun = run
+        spanDigits += 1; if (spanDigits > maxSpan) maxSpan = spanDigits
+      } else {
+        run = 0
+        if (!isSpanSep(c) && !isRegexWs(c)) spanDigits = 0
+      }
+      i += 1
+    }
+    (n, maxRun, maxSpan)
   }
 
   /** Idempotent sanitizer (the reference runs the pair rule to fixpoint;
