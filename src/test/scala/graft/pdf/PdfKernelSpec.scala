@@ -438,6 +438,31 @@ class PdfKernelSpec extends AnyFunSuite {
       PdfParser.PdfObj("<< /A 1 >>", None)))
   }
 
+  test("ObjStm pages resolve fonts from their compressed /Resources") {
+    // the page dict AND its font dict live inside the ObjStm; the
+    // page's /Resources must resolve through the unpacked object table
+    val embedded = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 6 0 R >> >> >>"),
+      6 -> "<< /Type /Font /Subtype /TrueType /Encoding /WinAnsiEncoding >>")
+    val bodies = embedded.map(_._2)
+    val offsets = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = embedded.map(_._1).zip(offsets)
+      .map { case (num, off) => s"$num $off" }.mkString(" ") + " "
+    val payload = header + bodies.mkString("\n") + "\n"
+    val first = header.length
+    val content = "BT /F1 12 Tf 72 720 Td (café) Tj ET" // 0xE9 WinAnsi
+    val bytes = ("%PDF-1.5\n" +
+      s"5 0 obj << /Type /ObjStm /N 4 /First $first " +
+      s"/Length ${payload.length} >>\nstream\n$payload\nendstream\nendobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content" +
+      "\nendstream\nendobj\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfParser.extractText(bytes) == "café")
+  }
+
   test("garbage never throws") {
     assert(PdfParser.extractText("%PDF-1.4 garbage".getBytes(UTF_8)) == "")
     val r = new java.util.Random(1)
