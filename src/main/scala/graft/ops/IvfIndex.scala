@@ -66,8 +66,10 @@ object IvfIndex {
     * quantization); bounds the per-cell driver state. */
   val MaxSubCells = 4096
 
-  /** Sub-cells probed inside each probed HOT cell. */
-  val DefaultSubProbe = 2
+  /** Sub-cells probed inside each probed HOT cell. Sized with the 4×
+    * oversplit so the candidate mass per probed hot cell stays
+    * ≈ cellCap (subProbe × expected sub-cell load of cellCap/4). */
+  val DefaultSubProbe = 4
 
   /** Mean-of-vectors buffer (sum + count). */
   final case class VecMeanBuf(sum: Array[Double], n: Long)
@@ -242,10 +244,13 @@ object IvfIndex {
     if (hot.isEmpty) return Map.empty
     val spark = assigned.sparkSession
     import spark.implicits._
-    // 2× oversplit: expected sub-cell load ≈ cellCap/2, so moderately
-    // skewed sub-cells still fit under the cap instead of dropping
+    // 4× oversplit: expected sub-cell load ≈ cellCap/4. Nearest-seed
+    // sub-assignment inside a DEGENERATE hot cell (near-identical
+    // members — the very thing that makes a cell hot) is strongly
+    // skewed: a many-hot-cells stress test measured ~2.5× max/mean at
+    // 2× oversplit (9% residual drops); 4× headroom absorbs it.
     val kSub: Map[Int, Int] = hot.map { case (c, n) =>
-      c -> math.min(MaxSubCells.toLong, 2L * ((n + cellCap - 1) / cellCap)).toInt
+      c -> math.min(MaxSubCells.toLong, 4L * ((n + cellCap - 1) / cellCap)).toInt
     }
     val hotDf = broadcast(
       kSub.toSeq.map { case (c, k) => (c, k) }.toDF("cell", "k_sub"))
@@ -320,6 +325,9 @@ object IvfIndex {
     // join back once per side (Catalyst picks broadcast vs shuffled hash
     // join by corpus size)
     val candidates = keyedCandidates(assigned, bcSub)
+      .select(col("ckey"), col("vec_id")) // drop embeddings BEFORE the
+      // cap window: its sort shuffle must move (key, id) pairs, not
+      // dim-sized arrays per replicated row
       .withColumn("rn", row_number().over(wKey))
       .filter(col("rn") <= cellCap)
       .select(col("ckey"), col("vec_id").as("neighbor_id"))

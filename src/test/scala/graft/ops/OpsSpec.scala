@@ -362,6 +362,28 @@ class OpsSpec extends AnyFunSuite {
     assert(r >= 0.9, s"two-level ivf recall $r")
   }
 
+  test("ivf: MANY hot cells at tightened caps — split, no drops, recall holds") {
+    // 2000 vectors forced into 10 coarse cells with cellCap 25: every
+    // cell is hot (≈200 members each, ×3 replicas ≈ 600 per cell) and
+    // must two-level split rather than drop; driver/broadcast state
+    // stays Σ k_sub seeds (≈ 2×600/25 × 10 cells), never a cell's full
+    // membership
+    val emb = clusteredEmb(2000, 16, 10, seed = 77)
+    val centroids = IvfIndex.train(emb, k = 10)
+    val cap = 25
+    // at 400× tighter than the shipped cap the degenerate-cell skew
+    // tail can exceed even the 4× oversplit headroom — the contract is
+    // bounded residual drops, ACCOUNTED (cellDrops), never silent:
+    // measured 9.5% at the old 2× oversplit, <1% at 4×
+    val drops = IvfIndex.cellDrops(emb, centroids, cellCap = cap)
+    assert(drops >= 0L && drops <= 6000L / 100,
+      s"many-hot-cells residual drops must stay under 1% of replicated " +
+        s"rows: $drops")
+    val approx = IvfIndex.topK(emb, centroids, k = 5, cellCap = cap)
+    val r = recallVsBrute(emb, approx, k = 5)
+    assert(r >= 0.9, s"many-hot-cells ivf recall $r")
+  }
+
   test("lsh recall >= 0.9 vs brute on clustered vectors (forced path)") {
     val emb = clusteredEmb(400, 32, 8, seed = 3)
     val approx = Similarity.lshCosineTopK(emb, k = 5,
