@@ -42,4 +42,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
       plan.take(2000))
   }
+
+  test("bucketed tables join WITHOUT an exchange (co-located fact joins)") {
+    // the 100 TB tool for fact⋈fact joins that can't broadcast: both
+    // sides written bucketed+sorted on the join key join with ZERO
+    // Exchange operators — each task reads matching bucket files. The
+    // extraction pipeline's analog is its bucket-partitioned output;
+    // this pins the Hive-bucketed variant end-to-end.
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val orders = s.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      val lineitem = s.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      s.sql("DROP TABLE IF EXISTS g_orders_b")
+      s.sql("DROP TABLE IF EXISTS g_lineitem_b")
+      orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", wh.resolve("orders").toString)
+        .saveAsTable("g_orders_b")
+      lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", wh.resolve("lineitem").toString)
+        .saveAsTable("g_lineitem_b")
+      val joined = s.table("g_lineitem_b")
+        .join(s.table("g_orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the JOIN itself must be exchange-free: the only allowed
+      // exchange is the final small groupBy partial→final hop
+      val joinOnly = s.table("g_lineitem_b")
+        .join(s.table("g_orders_b"), col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(!joinOnly.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${joinOnly.take(2000)}")
+      assert(joinOnly.contains("SortMergeJoin"), joinOnly.take(800))
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      // results identical to the plain (shuffling) join
+      val expect = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val got = joined.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got == expect)
+    } finally {
+      s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      s.sql("DROP TABLE IF EXISTS g_orders_b")
+      s.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    }
+  }
 }
