@@ -117,6 +117,41 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Memory-bandwidth ceiling: per-thread buffer-copy loop scaling
+    * N→4N. The ALU ceiling does ZERO memory traffic, so it understates
+    * the shared-VM penalty for the engine's memory-bound phases (scan
+    * decode, shuffle, array copies) — 16 threads contend for the same
+    * memory controllers where 4 do not. Reported alongside so the
+    * engine's efficiency can be read against BOTH machine envelopes. */
+  private def memCeiling(n: Int, n4: Int): Double = {
+    def rate(threads: Int): Double = {
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val ths = (0 until threads).map { _ =>
+        new Thread(() => {
+          val src = new Array[Byte](8 << 20)
+          val dst = new Array[Byte](8 << 20)
+          var b = 0L
+          while (!stop.get()) {
+            System.arraycopy(src, 0, dst, 0, src.length)
+            b += src.length
+          }
+          if (dst(0) == 42) println("x") // defeat DCE
+          bytes.addAndGet(b)
+        })
+      }
+      ths.foreach(_.start())
+      Thread.sleep(2000)
+      stop.set(true)
+      ths.foreach(_.join())
+      bytes.get.toDouble / 2.0
+    }
+    rate(n) // warm
+    val rN = rate(n)
+    val r4N = rate(n4)
+    r4N / (4.0 * rN)
+  }
+
   /** Machine ceiling: pure-ALU loop scaling N→4N on raw threads (no
     * Spark, no allocation) — what this box itself allows. */
   private def aluCeiling(n: Int, n4: Int): Double = {
@@ -300,6 +335,7 @@ object Bench {
     }
 
     val roundCeilings = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val roundMemCeilings = scala.collection.mutable.ArrayBuffer.empty[Double]
     var round = 0
     while (round < 3 ||
         (System.nanoTime() - budget0) / 1e9 < budgetSec && round < 8) {
@@ -322,11 +358,12 @@ object Bench {
       roundRatesN += steadyRate(bf, bh)
       val c = timeExtraction(cpus, nPages, pagesInput)
       if (c._1 < bestPeak._1) bestPeak = c
-      // the machine's own ceiling, measured INSIDE the round so the
+      // the machine's own ceilings, measured INSIDE the round so the
       // calibration shares the epoch with the samples it contextualizes
       // (an end-of-run calibration can read 1.0 after a throttled run,
       // or 0.8 after a clean one)
       roundCeilings += aluCeiling(nCores, cores4N)
+      roundMemCeilings += memCeiling(nCores, cores4N)
       round += 1
     }
     val (secPeak, docsPeak, bytesPeak) = bestPeak
@@ -353,6 +390,7 @@ object Bench {
         r4 / (4.0 * math.max(r1, 1e-9))
       }.toSeq)
     val ceiling = median(roundCeilings.toSeq) // typical machine state
+    val memCeil = median(roundMemCeilings.toSeq)
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
@@ -361,10 +399,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"machine_mem_ceiling":$memCeil%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
 
     writeBenchBaseline(sfDir, total, results, nPages, nCores, cores4N, cpus,
-      rateN, rate4N, ratePeak, gbPeak, efficiency, ceiling, recalls,
+      rateN, rate4N, ratePeak, gbPeak, efficiency, ceiling, memCeil, recalls,
       round, rateNMed, rate4NMed, efficiencyMed, drops, lshDropCount)
   }
 
@@ -372,7 +410,8 @@ object Bench {
       sfDir: String, total: Double, results: Seq[(String, Double)],
       nPages: Long, nCores: Int, cores4N: Int, peakCores: Int,
       rateN: Double, rate4N: Double, ratePeak: Double, gb: Double,
-      eff: Double, ceiling: Double, recalls: Map[String, Double],
+      eff: Double, ceiling: Double, memCeil: Double,
+      recalls: Map[String, Double],
       rounds: Int, rateNMed: Double, rate4NMed: Double,
       effMed: Double, drops: Long, lshDropCount: Long): Unit = {
     val md = new StringBuilder
@@ -410,9 +449,13 @@ object Bench {
     md ++= f"${eff / math.max(ceiling, 0.01)}%.3f**.\n\n"
     md ++= f"Machine calibration: a pure-ALU no-allocation thread loop scales "
     md ++= f"at $ceiling%.3f over the same N→4N on this shared VM (CPU steal "
-    md ++= "5–13%% under load + turbo droop) — the engine's efficiency should "
-    md ++= "be read against that ceiling, not 1.0. Real cluster executors on "
-    md ++= "separate hosts do not share this penalty.\n\n"
+    md ++= "5–13%% under load + turbo droop), and a buffer-copy loop — the "
+    md ++= "envelope for the engine's memory-bound phases (scan decode, "
+    md ++= f"shuffle, array copies) — scales at $memCeil%.3f (16 threads "
+    md ++= "contend for the same memory controllers where 4 do not). The "
+    md ++= "engine's efficiency should be read against these ceilings, not "
+    md ++= "1.0. Real cluster executors on separate hosts share neither "
+    md ++= "penalty.\n\n"
     if (recalls.nonEmpty) {
       md ++= "## ANN recall vs exact brute top-5 (driver embeddings table)\n\n"
       md ++= "| operating point | recall |\n|---|---|\n"

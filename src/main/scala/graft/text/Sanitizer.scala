@@ -45,6 +45,33 @@ object Sanitizer {
   private val trailingSep: Pattern = uPattern(
     "(\\d{3,4})[-–—−.,:;]+(?=\\s|$)")
 
+  /** Sequential reference for [[scrubFilterCollapse]] — kept ONLY so
+    * the fuzz suite can assert the fused pass is byte-identical to the
+    * staged composition. */
+  private[text] def scrubFilterCollapseReference(s: String): String = {
+    val scrubbed = dropUnpairedSurrogates(s)
+    var drop = 0
+    var i = 0
+    while (i < scrubbed.length) {
+      val c = scrubbed.charAt(i)
+      if (c <= 127 && !allowedAscii(c)) drop += 1
+      i += 1
+    }
+    val filtered =
+      if (drop == 0) scrubbed
+      else {
+        val kept = new java.lang.StringBuilder(scrubbed.length - drop)
+        i = 0
+        while (i < scrubbed.length) {
+          val c = scrubbed.charAt(i)
+          if (c > 127 || allowedAscii(c)) kept.append(c)
+          i += 1
+        }
+        kept.toString
+      }
+    collapseWsStrip(filtered)
+  }
+
   /** Python `s.encode('utf-8', errors='ignore').decode('utf-8')`:
     * identity except unpaired surrogates are dropped. */
   private def dropUnpairedSurrogates(s: String): String = {
@@ -75,35 +102,76 @@ object Sanitizer {
   private def normalizeSpan(span: String): String =
     collapseWsStrip(spanSepRun.matcher(span).replaceAll(" "))
 
+  /** Fused first phase of sanitize — byte-identical to the sequential
+    * `dropUnpairedSurrogates` → allowed-ASCII filter → `collapseWsStrip`
+    * composition, in ONE detection pass + at most ONE build pass
+    * (sequential staging cost three scans and an intermediate string;
+    * the "\n\n" block joins mean collapse rebuilt on nearly every doc).
+    * A char dropped by an earlier stage simply never reaches the
+    * collapse automaton, which is exactly the sequential semantics. */
+  private[text] def scrubFilterCollapse(s: String): String = {
+    // fast path: nothing dropped, no collapsible/strippable ws, no
+    // unpaired surrogate → the input IS the answer
+    var clean = true
+    var i = 0
+    val n = s.length
+    while (clean && i < n) {
+      val c = s.charAt(i)
+      if (c <= 127) {
+        if (!allowedAscii(c)) clean = false
+        else if (c == '\n' || c == '\t') clean = false // regex-ws ≠ ' '
+        else if (c == ' ' && (i == 0 || i + 1 >= n ||
+          isRegexWs(s.charAt(i + 1)))) clean = false // run/edge space
+      } else if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= n || !Character.isLowSurrogate(s.charAt(i + 1)))
+          clean = false
+        else i += 1 // skip the low half of a valid pair
+      } else if (Character.isLowSurrogate(c)) clean = false
+      else if (isRegexWs(c)) clean = false // non-space unicode ws
+      i += 1
+    }
+    if (clean) return s
+
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      var keep = true
+      var advance = 1
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 < n && Character.isLowSurrogate(s.charAt(i + 1))) {
+          // valid pair: both halves pass the >127 filter, never ws
+          if (pendingSpace && sb.length() > 0) sb.append(' ')
+          pendingSpace = false
+          sb.append(c).append(s.charAt(i + 1))
+          advance = 2
+        } // else: unpaired high — dropped
+        keep = false // handled above
+      } else if (Character.isLowSurrogate(c)) {
+        keep = false // unpaired low — dropped
+      } else if (c <= 127 && !allowedAscii(c)) {
+        keep = false // filtered ASCII
+      }
+      if (keep) {
+        if (isRegexWs(c)) pendingSpace = true
+        else {
+          if (pendingSpace && sb.length() > 0) sb.append(' ')
+          pendingSpace = false
+          sb.append(c)
+        }
+      }
+      i += advance
+    }
+    sb.toString // trailing pendingSpace never flushed == strip
+  }
+
   /** `sanitize_text` — UTF-8 scrub → allowed-char filter → whitespace
     * collapse → long-digit-span normalization → pair fixpoint → trailing
     * separator strip → 10k truncation with "...". */
   def sanitize(text: String): String = {
     if (text == null || text.isEmpty) return ""
-    val scrubbed = dropUnpairedSurrogates(text)
-
-    // allowed-char filter with a zero-copy fast path (nothing dropped)
-    var drop = 0
-    var i = 0
-    while (i < scrubbed.length) {
-      val c = scrubbed.charAt(i)
-      if (c <= 127 && !allowedAscii(c)) drop += 1
-      i += 1
-    }
-    val filtered =
-      if (drop == 0) scrubbed
-      else {
-        val kept = new java.lang.StringBuilder(scrubbed.length - drop)
-        i = 0
-        while (i < scrubbed.length) {
-          val c = scrubbed.charAt(i)
-          if (c > 127 || allowedAscii(c)) kept.append(c)
-          i += 1
-        }
-        kept.toString
-      }
-
-    var s = collapseWsStrip(filtered)
+    var s = scrubFilterCollapse(text)
 
     // necessary-condition gates, one fused pass (none of the rules adds
     // or removes digits, so the stats stay valid throughout):
