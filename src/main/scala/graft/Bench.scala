@@ -63,15 +63,16 @@ object Bench {
     * materialized `input` the timed job READS the page table (north-rule
     * shape); the synth fallback only fires when tmpfs is unavailable. */
   private def timeExtraction(cores: Int, nPages: Long,
-      input: Option[(String, String, String)]): (Double, Long, Long) = {
+      input: Option[PageTables]): (Double, Long, Long) = {
     val spark = session(cores)
     try {
       val parts = cores * 4
       input match {
-        case Some((full, _, quarter)) =>
-          ExtractionBenchBody.runParquet(spark, quarter, parts) // warm
+        case Some(t) =>
+          ExtractionBenchBody.runParquet(spark, t.quarter, parts) // warm
           val t0 = System.nanoTime()
-          val (docs, bytes) = ExtractionBenchBody.runParquet(spark, full, parts)
+          val (docs, bytes) =
+            ExtractionBenchBody.runParquet(spark, t.full, parts)
           ((System.nanoTime() - t0) / 1e9, docs, bytes)
         case None =>
           ExtractionBenchBody.run(spark, math.min(nPages / 4, 8000L), parts)
@@ -89,22 +90,30 @@ object Bench {
     * launch) that otherwise caps a perfectly-scaling job's measured
     * N→4N efficiency at ~0.95 (the short 4N window pays the fixed cost
     * 4× as densely as the long N window). */
+  /** Timed (larger, smaller) input pair for one level; the level's
+    * steady rate = Δdocs / (t_larger − t_smaller). `wide = true` uses
+    * the (2n, n) tables: the 4N level runs ~4× faster, so its (n, n/2)
+    * windows were ~4× shorter than the N level's and min-subtraction
+    * amplified their noise — the wide windows give BOTH levels
+    * comparable wall-time exposure (≈8/16 s vs ≈15/30 s). */
   private def timeExtractionPair(cores: Int, nPages: Long,
-      input: Option[(String, String, String)]): (Double, Double) = {
+      input: Option[PageTables], wide: Boolean): (Double, Double) = {
     val spark = session(cores)
     try {
       val parts = cores * 4
       input match {
-        case Some((full, half, quarter)) =>
-          ExtractionBenchBody.runParquet(spark, quarter, parts) // warm
+        case Some(t) =>
+          ExtractionBenchBody.runParquet(spark, t.quarter, parts) // warm
+          val (larger, smaller) =
+            if (wide) (t.double, t.full) else (t.full, t.half)
           val t0 = System.nanoTime()
-          ExtractionBenchBody.runParquet(spark, full, parts)
-          val tFull = (System.nanoTime() - t0) / 1e9
+          ExtractionBenchBody.runParquet(spark, larger, parts)
+          val tL = (System.nanoTime() - t0) / 1e9
           val t1 = System.nanoTime()
-          ExtractionBenchBody.runParquet(spark, half, parts)
-          val tHalf = (System.nanoTime() - t1) / 1e9
-          (tFull, tHalf)
-        case None =>
+          ExtractionBenchBody.runParquet(spark, smaller, parts)
+          val tS = (System.nanoTime() - t1) / 1e9
+          (tL, tS)
+        case None => // synth fallback: (n, n/2) windows at both levels
           ExtractionBenchBody.run(spark, math.min(nPages / 4, 8000L), parts)
           val t0 = System.nanoTime()
           ExtractionBenchBody.run(spark, nPages, parts)
@@ -293,14 +302,14 @@ object Bench {
     val nCores = sys.env.get("SPARK_GRAFT_BENCH_NCORES").map(_.toInt)
       .getOrElse(math.max(1, cpus / 8))
     val cores4N = nCores * 4
-    var pagesInput: Option[(String, String, String)] = None
+    var pagesInput: Option[PageTables] = None
     locally {
       val warm = session(cpus)
       try {
         pagesInput = ExtractionBenchBody.materialize(warm, nPages)
         pagesInput match {
-          case Some((full, _, _)) =>
-            ExtractionBenchBody.runParquet(warm, full, cpus * 4)
+          case Some(t) =>
+            ExtractionBenchBody.runParquet(warm, t.full, cpus * 4)
           case None =>
             ExtractionBenchBody.run(warm, math.max(nPages / 2, 10000L), cpus * 4)
         }
@@ -326,13 +335,20 @@ object Bench {
     val budget0 = System.nanoTime()
 
     // per-round steady-state rate by min-subtraction (fixed per-job cost
-    // cancels); falls back to the raw full-run rate if the difference
-    // degenerates
-    def steadyRate(full: Double, half: Double): Double = {
-      val dt = full - half
-      if (dt > 0.05 * full) (nPages - nPages / 2) / dt
-      else nPages / full
+    // cancels); falls back to the raw larger-run rate if the difference
+    // degenerates. The 4N level runs (2n, n) windows when the page
+    // tables are materialized; the N level runs (n, n/2).
+    val wideOk = pagesInput.isDefined
+    def steadyRate(larger: Double, smaller: Double, largerDocs: Long,
+        deltaDocs: Long): Double = {
+      val dt = larger - smaller
+      if (dt > 0.05 * larger) deltaDocs / dt else largerDocs / larger
     }
+    def steadyRateN(l: Double, s: Double): Double =
+      steadyRate(l, s, nPages, nPages - nPages / 2)
+    def steadyRate4N(l: Double, s: Double): Double =
+      if (wideOk) steadyRate(l, s, nPages * 2, nPages)
+      else steadyRateN(l, s)
 
     val roundCeilings = scala.collection.mutable.ArrayBuffer.empty[Double]
     val roundMemCeilings = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -345,17 +361,20 @@ object Bench {
       // bursts naturally; the 4N windows (~8 s) do not — a single burst
       // inside one 4N leg used to set that round's efficiency. Each
       // level still shares the round's epoch with the other.
-      val (a1f, a1h) = timeExtractionPair(cores4N, nPages, pagesInput)
-      val (bf, bh) = timeExtractionPair(nCores, nPages, pagesInput)
-      val (a2f, a2h) = timeExtractionPair(cores4N, nPages, pagesInput)
+      val (a1f, a1h) = timeExtractionPair(cores4N, nPages, pagesInput,
+        wide = wideOk)
+      val (bf, bh) = timeExtractionPair(nCores, nPages, pagesInput,
+        wide = false)
+      val (a2f, a2h) = timeExtractionPair(cores4N, nPages, pagesInput,
+        wide = wideOk)
       val af = math.min(a1f, a2f)
       val ah = math.min(a1h, a2h)
       if (af < minFull4N) minFull4N = af
       if (ah < minHalf4N) minHalf4N = ah
-      roundRates4N += steadyRate(af, ah)
+      roundRates4N += steadyRate4N(af, ah)
       if (bf < minFullN) minFullN = bf
       if (bh < minHalfN) minHalfN = bh
-      roundRatesN += steadyRate(bf, bh)
+      roundRatesN += steadyRateN(bf, bh)
       val c = timeExtraction(cpus, nPages, pagesInput)
       if (c._1 < bestPeak._1) bestPeak = c
       // the machine's own ceilings, measured INSIDE the round so the
@@ -375,8 +394,8 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    val rateN = steadyRate(minFullN, minHalfN) // best-of minima (headline)
-    val rate4N = steadyRate(minFull4N, minHalf4N)
+    val rateN = steadyRateN(minFullN, minHalfN) // best-of minima (headline)
+    val rate4N = steadyRate4N(minFull4N, minHalf4N)
     val rateNMed = median(roundRatesN.toSeq)
     val rate4NMed = median(roundRates4N.toSeq)
     val ratePeak = docsPeak / secPeak
@@ -437,8 +456,10 @@ object Bench {
     md ++= f"| local[$cores4N] (4N) | $rate4N%.1f | $rate4NMed%.1f |\n"
     md ++= f"| local[$peakCores] (full box) | $ratePeak%.1f ($gb%.4f GB/s html) | — |\n\n"
     md ++= "Steady-state rates use min-subtraction: each level times the "
-    md ++= "job at full and half input (interleaved best-of minima), rate = "
-    md ++= "(D − D/2) / (t_full − t_half). This cancels the ~0.3 s fixed "
+    md ++= "job at two input sizes (interleaved best-of minima), rate = "
+    md ++= "Δdocs / Δt — the 4N level runs (2n, n) windows so its "
+    md ++= "wall-time exposure matches the N level's (n, n/2) instead of "
+    md ++= "being ~4× shorter and noise-amplified. This cancels the ~0.3 s fixed "
     md ++= "per-job cost (driver planning + task launch) that would cap a "
     md ++= "perfectly-scaling job's measured efficiency at ~0.95 because "
     md ++= "the short 4N window pays it 4× as densely — on a real cluster "
@@ -493,6 +514,10 @@ object Bench {
   }
 }
 
+/** Materialized page tables at 2n / n / n/2 / n/4 docs. */
+final case class PageTables(double: String, full: String, half: String,
+    quarter: String)
+
 /** Shared body so warm-up and timed runs execute the identical plan. */
 object ExtractionBenchBody {
   def run(spark: SparkSession, n: Long, partitions: Int): (Long, Long) = {
@@ -529,18 +554,21 @@ object ExtractionBenchBody {
     * a fresh session mostly needs its codegen/broadcast plumbing
     * touched, not another half-corpus pass. */
   def materialize(spark: SparkSession,
-      n: Long): Option[(String, String, String)] = {
+      n: Long): Option[PageTables] = {
     val shm = new java.io.File("/dev/shm")
     if (!shm.isDirectory || !shm.canWrite) return None
+    val double = "/dev/shm/graft-bench-pages-double"
     val full = "/dev/shm/graft-bench-pages-full"
     val half = "/dev/shm/graft-bench-pages-half"
     val quarter = "/dev/shm/graft-bench-pages-quarter"
+    graft.pipeline.ExtractPipeline.pages(spark, n * 2, 64)
+      .write.mode("overwrite").parquet(double)
     graft.pipeline.ExtractPipeline.pages(spark, n, 64)
       .write.mode("overwrite").parquet(full)
     graft.pipeline.ExtractPipeline.pages(spark, n / 2, 64)
       .write.mode("overwrite").parquet(half)
     graft.pipeline.ExtractPipeline.pages(spark, n / 4, 64)
       .write.mode("overwrite").parquet(quarter)
-    Some((full, half, quarter))
+    Some(PageTables(double, full, half, quarter))
   }
 }
