@@ -52,7 +52,14 @@ object ExtractJob {
 
     val defaultBuckets =
       math.max(spark.sparkContext.defaultParallelism * 2, 8)
-    val buckets = opts.get("buckets").map(_.toInt).getOrElse(defaultBuckets)
+    val buckets = opts.get("buckets") match {
+      case None => defaultBuckets
+      case Some(v) =>
+        scala.util.Try(v.toInt).filter(_ > 0).getOrElse {
+          System.err.println(s"--buckets must be a positive int (got '$v')")
+          sys.exit(2)
+        }
+    }
 
     val pages =
       if (input.startsWith("synth:")) {
@@ -62,8 +69,19 @@ object ExtractJob {
 
     // --narrow true: write only (url, text, status, bytes_in, bucket) —
     // half the output bytes for consumers that don't need the
-    // fields/cards/analytics structs
-    val narrow = opts.get("narrow").exists(_.toBoolean)
+    // fields/cards/analytics structs. Strict like the other options: a
+    // non-boolean value exits through the usage path, not a stack trace.
+    val narrow = opts.get("narrow") match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) =>
+        System.err.println(
+          s"--narrow must be true or false (got '$other'); " +
+            "usage: ExtractJob --input <parquet|synth:N> --output <dir> " +
+            "--lineage <dir> --run-id <id> [--buckets B] [--narrow true]")
+        sys.exit(2)
+    }
     val summary =
       ExtractPipeline.run(spark, pages, output, lineage, runId, buckets,
         ExtractPipeline.DefaultSalt, narrowOutput = narrow)

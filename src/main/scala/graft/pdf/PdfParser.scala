@@ -518,8 +518,10 @@ object PdfParser {
       val si = doc.indexOf("stream", from)
       if (si < 0) { from = doc.length }
       else {
-        // dict precedes "stream"; find its start for the Filter check
-        val dictStart = doc.lastIndexOf("<<", si)
+        // dict precedes "stream"; find its start for the Filter check —
+        // nesting-aware (a plain lastIndexOf("<<") would land on a
+        // nested sub-dict like /DecodeParms << ... >> and lose /Filter)
+        val dictStart = dictStartBefore(doc, si)
         val dict = if (dictStart >= 0) doc.substring(dictStart, si) else ""
         var dataStart = si + "stream".length
         if (dataStart < doc.length && doc.charAt(dataStart) == '\r') dataStart += 1
@@ -543,13 +545,35 @@ object PdfParser {
     out.result()
   }
 
+  /** Start index of the outermost `<<` of the dict whose closing `>>`
+    * immediately precedes position `si` — a backward scan balancing
+    * `>>`/`<<` pairs, so nested sub-dicts (/DecodeParms << ... >>)
+    * don't truncate the enclosing stream dict. −1 when absent. */
+  private def dictStartBefore(doc: String, si: Int): Int = {
+    var i = si - 1
+    var depth = 0
+    while (i > 0) {
+      val c = doc.charAt(i)
+      if (c == '>' && doc.charAt(i - 1) == '>') { depth += 1; i -= 2 }
+      else if (c == '<' && doc.charAt(i - 1) == '<') {
+        depth -= 1
+        if (depth <= 0) return i - 1
+        i -= 2
+      }
+      else i -= 1
+    }
+    -1
+  }
+
   // ------------------------------------------------------------------
   // stream filters (PDF 32000-1 §7.4): FlateDecode, LZWDecode,
   // ASCIIHexDecode, ASCII85Decode, RunLengthDecode — including filter
-  // ARRAYS (applied first-to-last). Image filters (DCTDecode etc.) and
-  // indirect /Filter refs leave the data as-is; /DecodeParms predictors
-  // are not applied (PNG predictors appear on xref/image streams, not
-  // the text content streams this parser consumes).
+  // ARRAYS (applied first-to-last) and /DecodeParms predictors (TIFF
+  // predictor 2 and PNG predictors 10–15, §7.4.4.4) applied after the
+  // Flate/LZW stage they parameterize. Predicted ObjStm/content
+  // streams (Flate + /Predictor 12 occurs in the wild) now decode;
+  // image filters (DCTDecode etc.) and indirect /Filter refs still
+  // leave the data as-is (the text interpreter gates on "BT").
 
   private val filterNameToken =
     java.util.regex.Pattern.compile("/([A-Za-z0-9]+)")
@@ -581,20 +605,170 @@ object PdfParser {
   /** Apply the stream's declared filter chain; null on corrupt data
     * (caller treats as undecodable). Unknown filters pass data through
     * unchanged (image codecs never reach the text interpreter — it
-    * gates on "BT"). */
+    * gates on "BT"). /DecodeParms predictors (>1) are un-applied right
+    * after the Flate/LZW stage they parameterize; a predictor this
+    * decoder can't invert yields null rather than predictor-encoded
+    * garbage flowing into the content interpreter. */
   private[pdf] def decodeStream(dict: String, raw: Array[Byte]): Array[Byte] = {
     var data = raw
+    val parms = decodeParmsOf(dict)
+    var idx = 0
     filtersOf(dict).foreach { f =>
-      if (data != null) data = f match {
-        case "FlateDecode" | "Fl" => inflate(data)
-        case "LZWDecode" | "LZW" => lzwDecode(data)
-        case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
-        case "ASCII85Decode" | "A85" => ascii85Decode(data)
-        case "RunLengthDecode" | "RL" => runLengthDecode(data)
-        case _ => data
+      if (data != null) {
+        val predicted = f match {
+          case "FlateDecode" | "Fl" => inflate(data)
+          case "LZWDecode" | "LZW" => lzwDecode(data)
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+          case "ASCII85Decode" | "A85" => ascii85Decode(data)
+          case "RunLengthDecode" | "RL" => runLengthDecode(data)
+          case _ => data
+        }
+        data = f match {
+          case "FlateDecode" | "Fl" | "LZWDecode" | "LZW" =>
+            applyPredictor(parms(idx), predicted)
+          case _ => predicted
+        }
       }
+      idx += 1
     }
     data
+  }
+
+  /** Predictor parameters of one /DecodeParms entry (spec defaults:
+    * Predictor 1, Colors 1, BitsPerComponent 8, Columns 1). */
+  private[pdf] final case class PredictorParms(
+      predictor: Int, colors: Int, bpc: Int, columns: Int)
+
+  private val intEntryToken =
+    java.util.regex.Pattern.compile("/(Predictor|Colors|BitsPerComponent|Columns)\\s+(\\d+)")
+
+  private def parseParmsDict(body: String): PredictorParms = {
+    var pred = 1; var colors = 1; var bpc = 8; var columns = 1
+    val m = intEntryToken.matcher(body)
+    while (m.find()) {
+      val v = m.group(2).toInt
+      m.group(1) match {
+        case "Predictor" => pred = v
+        case "Colors" => colors = v
+        case "BitsPerComponent" => bpc = v
+        case "Columns" => columns = v
+      }
+    }
+    PredictorParms(pred, colors, bpc, columns)
+  }
+
+  /** /DecodeParms (or abbreviated /DP) entries as an index-aligned view
+    * over the filter chain: a single dict parameterizes filter 0, an
+    * array of dicts/nulls aligns positionally (§7.3.8.2). Returns the
+    * identity parms when absent — every index is total. */
+  private[pdf] def decodeParmsOf(dict: String): Int => PredictorParms = {
+    val none = PredictorParms(1, 1, 8, 1)
+    var pi = dict.indexOf("/DecodeParms")
+    var keyLen = "/DecodeParms".length
+    if (pi < 0) { pi = dict.indexOf("/DP"); keyLen = "/DP".length }
+    if (pi < 0) return _ => none
+    var j = pi + keyLen
+    while (j < dict.length && Character.isWhitespace(dict.charAt(j))) j += 1
+    if (j + 1 < dict.length && dict.charAt(j) == '<' && dict.charAt(j + 1) == '<') {
+      val end = dict.indexOf(">>", j)
+      val body = if (end < 0) dict.substring(j) else dict.substring(j, end)
+      val p = parseParmsDict(body)
+      i => if (i == 0) p else none
+    } else if (j < dict.length && dict.charAt(j) == '[') {
+      // array of << dict >> | null, positional per filter
+      val rb = dict.indexOf(']', j)
+      val body = if (rb < 0) dict.substring(j + 1) else dict.substring(j + 1, rb)
+      val out = List.newBuilder[PredictorParms]
+      var k = 0
+      while (k < body.length) {
+        if (body.startsWith("<<", k)) {
+          val end = body.indexOf(">>", k)
+          val dictBody = if (end < 0) body.substring(k) else body.substring(k, end)
+          out += parseParmsDict(dictBody)
+          k = if (end < 0) body.length else end + 2
+        } else if (body.startsWith("null", k)) { out += none; k += 4 }
+        else k += 1
+      }
+      val arr = out.result().toArray
+      i => if (i >= 0 && i < arr.length) arr(i) else none
+    } else _ => none // indirect ref or malformed — treat as no predictor
+  }
+
+  /** Invert the declared predictor (§7.4.4.4). Predictor 1 is identity;
+    * 2 is TIFF horizontal differencing (8-bit components only here —
+    * sub-byte TIFF differencing yields null/undecodable rather than
+    * garbage); 10–15 are the PNG row filters, where each row carries
+    * its own tag byte (the /Predictor value ≥10 only signals "PNG
+    * predictors in use"). Malformed geometry → null. */
+  private[pdf] def applyPredictor(p: PredictorParms,
+      data: Array[Byte]): Array[Byte] = {
+    if (data == null || p.predictor <= 1) return data
+    val rowLen = (p.columns * p.colors * p.bpc + 7) / 8
+    if (rowLen <= 0) return null
+    val bpp = math.max(1, (p.colors * p.bpc + 7) / 8)
+    if (p.predictor == 2) {
+      if (p.bpc != 8) return null
+      if (data.length % rowLen != 0) return null
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        var i = r + bpp
+        val end = r + rowLen
+        while (i < end) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r += rowLen
+      }
+      out
+    } else if (p.predictor >= 10 && p.predictor <= 15) {
+      if (data.length % (rowLen + 1) != 0) return null
+      val rows = data.length / (rowLen + 1)
+      val out = new Array[Byte](rows.toLong.toInt * rowLen)
+      val prev = new Array[Byte](rowLen) // row above, zeros for row 0
+      var r = 0
+      while (r < rows) {
+        val tag = data(r * (rowLen + 1)) & 0xff
+        val src = r * (rowLen + 1) + 1
+        val dst = r * rowLen
+        var i = 0
+        tag match {
+          case 0 => // None
+            System.arraycopy(data, src, out, dst, rowLen)
+          case 1 => // Sub
+            while (i < rowLen) {
+              val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+              out(dst + i) = ((data(src + i) & 0xff) + left).toByte
+              i += 1
+            }
+          case 2 => // Up
+            while (i < rowLen) {
+              out(dst + i) = ((data(src + i) & 0xff) + (prev(i) & 0xff)).toByte
+              i += 1
+            }
+          case 3 => // Average
+            while (i < rowLen) {
+              val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+              val up = prev(i) & 0xff
+              out(dst + i) = ((data(src + i) & 0xff) + ((left + up) >> 1)).toByte
+              i += 1
+            }
+          case 4 => // Paeth
+            while (i < rowLen) {
+              val a = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+              val b = prev(i) & 0xff
+              val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+              out(dst + i) = ((data(src + i) & 0xff) + pred).toByte
+              i += 1
+            }
+          case _ => return null // unknown row tag — corrupt
+        }
+        System.arraycopy(out, dst, prev, 0, rowLen)
+        r += 1
+      }
+      out
+    } else null // predictors 3..9 are not defined by the spec
   }
 
   /** ASCIIHexDecode: hex pairs, whitespace ignored, `>` terminates, an

@@ -92,8 +92,11 @@ object ExtractPipeline {
     def writeResults(results: DataFrame): Unit
     /** Whether `writeResults` upholds the one-action/no-shuffle contract
       * above (accumulator lineage is trustworthy). Shuffling/multi-action
-      * sinks return false; `run()` then recomputes lineage from the
-      * written results table instead of the accumulator. */
+      * sinks return false; `run()` then stamps a `run_id` provenance
+      * column into every written row and recomputes lineage from the
+      * written results table filtered to this run's rows (stale
+      * partitions from other runs can never be attributed to this
+      * run's lineage). */
     def trustAccumulatorLineage: Boolean = true
     /** Written results as a DataFrame (lineage fallback source when
       * [[trustAccumulatorLineage]] is false); None when unsupported. */
@@ -292,10 +295,20 @@ object ExtractPipeline {
         }
       }
       .select(col("result.*"), col("bucket"))
-    val results =
+    val projected =
       if (!narrowOutput) wide
       else wide.select(col("url"), col("text"), col("status"),
         col("bytes_in"), col("bucket"))
+    // Sinks that derive lineage from the WRITTEN table (shuffling /
+    // multi-action — trustAccumulatorLineage=false) get a run_id
+    // provenance column stamped into every row: dynamic/partition
+    // overwrite leaves a bucket's previous-run partition untouched when
+    // this run writes zero rows for it, and without the stamp those
+    // stale rows would be attributed to THIS run's lineage (phantom
+    // commit rows with wrong fingerprints, then skipped on resume).
+    val results =
+      if (protocol.trustAccumulatorLineage) projected
+      else projected.withColumn("run_id", lit(runId))
 
     // idempotent write: a replayed bucket replaces only its own output —
     // for a contract-upholding protocol this is the ONE action over the
@@ -318,9 +331,20 @@ object ExtractPipeline {
         b.result().sortBy(_._2)
       } else {
         val written = protocol.readBackResults(spark).getOrElse(results)
+        // scope strictly to rows THIS run produced: the run_id stamp
+        // excludes stale partitions left by OTHER runs (the phantom-
+        // commit hazard above); the committed filter excludes buckets
+        // this same runId committed in an earlier invocation (their
+        // lineage rows already exist). A re-executed `results` plan
+        // (readBackResults = None) is this-run-only by construction but
+        // carries the stamp too — the filter is a no-op there.
+        val scoped =
+          if (written.columns.contains("run_id"))
+            written.filter(col("run_id") === runId)
+          else written
         val thisRun =
-          if (committed.isEmpty) written
-          else written.filter(!col("bucket").isin(committed.toSeq: _*))
+          if (committed.isEmpty) scoped
+          else scoped.filter(!col("bucket").isin(committed.toSeq: _*))
         thisRun
           .groupBy(col("bucket"))
           .agg(sum(hash(col("url")).cast("long")).as("fp"),

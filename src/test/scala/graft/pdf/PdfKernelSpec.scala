@@ -234,6 +234,124 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(PdfParser.filtersOf("<< /Length 5 >>") == Nil)
   }
 
+  // ---- /DecodeParms predictors (§7.4.4.4) --------------------------
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val n = d.deflate(buf)
+    java.util.Arrays.copyOf(buf, n)
+  }
+
+  /** Reference PNG row-filter ENCODER (colors=1, bpc=8): one tag byte
+    * per row, cycling through all five filter types so every un-filter
+    * branch is exercised. */
+  private def pngPredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    require(data.length % columns == 0)
+    val rows = data.length / columns
+    val out = new Array[Byte](rows * (columns + 1))
+    for (r <- 0 until rows) {
+      val tag = r % 5
+      out(r * (columns + 1)) = tag.toByte
+      for (i <- 0 until columns) {
+        val x = data(r * columns + i) & 0xff
+        val left = if (i >= 1) data(r * columns + i - 1) & 0xff else 0
+        val up = if (r > 0) data((r - 1) * columns + i) & 0xff else 0
+        val ul = if (r > 0 && i >= 1) data((r - 1) * columns + i - 1) & 0xff else 0
+        val pred = tag match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case _ =>
+            val pp = left + up - ul
+            val pa = math.abs(pp - left); val pb = math.abs(pp - up)
+            val pc = math.abs(pp - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        out(r * (columns + 1) + 1 + i) = (x - pred).toByte
+      }
+    }
+    out
+  }
+
+  /** Pad with spaces (whitespace between PDF tokens) to a row multiple. */
+  private def padTo(content: String, columns: Int): String =
+    content + " " * ((columns - content.length % columns) % columns)
+
+  test("PNG predictor 12 on a Flate content stream is byte-identical") {
+    val columns = 7
+    val content = padTo(
+      "BT /F1 12 Tf 72 720 Td (Predictor twelve ok) Tj " +
+        "0 -14 Td (second line) Tj ET", columns)
+    val expect = PdfParser.extractText(pdf(content))
+    assert(expect.contains("Predictor twelve ok"))
+    val predicted = pngPredict(content.getBytes(UTF_8), columns)
+    val payload = deflate(predicted)
+    val bytes = (s"%PDF-1.4\n1 0 obj << /Length ${payload.length} " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $columns >> " +
+      ">>\nstream\n").getBytes(UTF_8) ++ payload ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) == expect)
+  }
+
+  test("TIFF predictor 2 (horizontal differencing) decodes") {
+    val columns = 9
+    val content = padTo(
+      "BT /F1 12 Tf 72 720 Td (Tiff predictor ok) Tj ET", columns)
+    val expect = PdfParser.extractText(pdf(content))
+    val raw = content.getBytes(UTF_8)
+    val diffed = raw.clone()
+    for (r <- 0 until raw.length / columns;
+         i <- (r * columns + columns - 1) to (r * columns + 1) by -1)
+      diffed(i) = (raw(i) - raw(i - 1)).toByte
+    val payload = deflate(diffed)
+    val bytes = (s"%PDF-1.4\n1 0 obj << /Length ${payload.length} " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns $columns >> " +
+      ">>\nstream\n").getBytes(UTF_8) ++ payload ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) == expect)
+  }
+
+  test("DecodeParms ARRAY aligns positionally with the filter array") {
+    val columns = 5
+    val content = padTo(
+      "BT /F1 12 Tf 72 720 Td (Array parms ok) Tj ET", columns)
+    val expect = PdfParser.extractText(pdf(content))
+    val predicted = pngPredict(content.getBytes(UTF_8), columns)
+    // writer: predict → deflate → hex-armor; reader: hex → inflate+unpredict
+    val hex = deflate(predicted).map(b => f"${b & 0xff}%02X").mkString + ">"
+    val bytes = (s"%PDF-1.4\n1 0 obj << /Length ${hex.length} " +
+      "/Filter [ /ASCIIHexDecode /FlateDecode ] " +
+      s"/DecodeParms [ null << /Predictor 10 /Columns $columns >> ] " +
+      ">>\nstream\n").getBytes(UTF_8) ++ hex.getBytes(UTF_8) ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) == expect)
+  }
+
+  test("undecodable predictor geometry yields no garbage text") {
+    // declared Columns disagrees with the data length → the stream is
+    // undecodable (null), never predictor-encoded bytes fed to the
+    // interpreter as content
+    val content = padTo("BT (never surfaces) Tj ET", 7)
+    val predicted = pngPredict(content.getBytes(UTF_8), 7)
+    val payload = deflate(predicted)
+    val bytes = (s"%PDF-1.4\n1 0 obj << /Length ${payload.length} " +
+      "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 1000 >> " +
+      ">>\nstream\n").getBytes(UTF_8) ++ payload ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+    val text = PdfParser.extractText(bytes)
+    assert(text == "", s"expected no decodable stream, got: '$text'")
+    // unit geometry checks
+    assert(PdfParser.applyPredictor(
+      PdfParser.PredictorParms(12, 1, 8, 4), new Array[Byte](7)) == null)
+    assert(PdfParser.applyPredictor(
+      PdfParser.PredictorParms(2, 1, 4, 4), new Array[Byte](8)) == null)
+    assert(PdfParser.applyPredictor(
+      PdfParser.PredictorParms(7, 1, 8, 4), new Array[Byte](8)) == null)
+  }
+
   test("quote operator advances line") {
     val content = "BT /F1 12 Tf 14 TL 72 720 Td (a) Tj (b) ' ET"
     assert(PdfParser.extractText(pdf(content)) == "a\nb")

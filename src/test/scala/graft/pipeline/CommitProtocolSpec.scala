@@ -110,6 +110,19 @@ class CommitProtocolSpec extends AnyFunSuite {
     }
   }
 
+  /** InMemoryProtocol variant that breaks the one-action/no-shuffle
+    * contract (trustAccumulatorLineage=false) and serves read-back. */
+  private class DerivedInMemoryProtocol extends InMemoryProtocol {
+    override def trustAccumulatorLineage: Boolean = false
+    override def readBackResults(s: SparkSession): Option[DataFrame] =
+      if (store.isEmpty) None
+      else {
+        val rows = new java.util.ArrayList[Row]()
+        store.values.flatten.foreach(rows.add)
+        Some(s.createDataFrame(rows, schema))
+      }
+  }
+
   test("derived lineage (shuffling sink) matches accumulator lineage") {
     // a sink that breaks the one-action/no-shuffle contract sets
     // trustAccumulatorLineage=false; run() must then recompute lineage
@@ -118,16 +131,7 @@ class CommitProtocolSpec extends AnyFunSuite {
     val pAcc = new InMemoryProtocol
     ExtractPipeline.run(spark, pages, pAcc, "runL", 6,
       ExtractPipeline.DefaultSalt)
-    val pDerived = new InMemoryProtocol {
-      override def trustAccumulatorLineage: Boolean = false
-      override def readBackResults(s: SparkSession): Option[DataFrame] =
-        if (store.isEmpty) None
-        else {
-          val rows = new java.util.ArrayList[Row]()
-          store.values.flatten.foreach(rows.add)
-          Some(s.createDataFrame(rows, schema))
-        }
-    }
+    val pDerived = new DerivedInMemoryProtocol
     val sum = ExtractPipeline.run(spark, pages, pDerived, "runL", 6,
       ExtractPipeline.DefaultSalt)
     assert(sum.docsIn == 240)
@@ -136,6 +140,30 @@ class CommitProtocolSpec extends AnyFunSuite {
       r.getAs[Long]("docs_out"), r.getAs[Long]("bytes"))
     assert(pDerived.lineage.map(key).toSet == pAcc.lineage.map(key).toSet,
       s"derived=${pDerived.lineage}\nacc=${pAcc.lineage}")
+  }
+
+  test("derived lineage never attributes stale rows from another run") {
+    // phantom-commit hazard: dynamic overwrite leaves a bucket's
+    // previous-run partition untouched when the current run writes
+    // zero rows for it — the derived-lineage fallback must NOT
+    // attribute those stale rows to the current run_id
+    val p = new DerivedInMemoryProtocol
+    ExtractPipeline.run(spark, ExtractPipeline.pages(spark, 120, 4), p,
+      "runOld", 6, ExtractPipeline.DefaultSalt)
+    assert(p.lineage.nonEmpty)
+    val before = p.lineage.size
+    // a new run over an EMPTY input writes zero rows into every bucket;
+    // the store still holds runOld's rows (overwrite touched nothing)
+    val sum = ExtractPipeline.run(spark,
+      ExtractPipeline.pages(spark, 0, 1), p,
+      "runNew", 6, ExtractPipeline.DefaultSalt)
+    assert(sum.docsIn == 0)
+    assert(!p.lineage.exists(_.getAs[String]("run_id") == "runNew"),
+      s"phantom lineage rows: ${p.lineage}")
+    assert(p.lineage.size == before)
+    // written rows carry the provenance stamp
+    assert(p.store.values.flatten.forall(
+      _.getAs[String]("run_id") == "runOld"))
   }
 
   test("null url never throws in the lineage fingerprint") {
