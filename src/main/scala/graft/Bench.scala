@@ -237,6 +237,57 @@ object Bench {
     } catch { case _: Throwable => Map.empty }
   }
 
+  /** Dedup recall diagnostic: minhash pooled pair-recall vs the exact
+    * shingle-Jaccard ≥ 0.5 twin on the %10 document sample (where the
+    * driver table's near-dup pairs land at bench scale), plus the
+    * simhash banded==exact-quadratic equality (pigeonhole contract) —
+    * printed every round so a dedup recall regression is as visible as
+    * a slowdown. The driver-visible GATE is `x_dedup_recall` (fixed
+    * 300-doc sample, oracled at sf0.01); this diagnostic covers the
+    * bench scale. */
+  private def dedupRecalls(spark: SparkSession,
+      sfDir: String): Map[String, Double] =
+    try {
+      import spark.implicits._
+      val sample = graft.ops.Dedup.exactSurvivors(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")))
+      sample.cache()
+      val rows = sample.as[(Long, String)].collect()
+      val sh = rows.map { case (id, t) =>
+        id -> graft.ops.MinHashKernel.shingleHashes(t, 3).toSet }
+      val twin = (for {
+        i <- sh.indices.iterator
+        j <- ((i + 1) until sh.length).iterator
+        sa = sh(i)._2; sb = sh(j)._2
+        inter = sa.intersect(sb).size
+        uni = sa.size + sb.size - inter
+        if uni > 0 && inter.toDouble / uni >= 0.5
+      } yield (math.min(sh(i)._1, sh(j)._1),
+        math.max(sh(i)._1, sh(j)._1))).toSet
+      val found = graft.ops.Dedup.minhashNearDups(sample, threshold = 0.5)
+        .select(col("a"), col("b")).as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val mh = if (twin.isEmpty) 1.0
+        else twin.count(found.contains).toDouble / twin.size
+      val sk = sample.select(col("doc_id"),
+        graft.sql.GraftFunctions.graft_simhash(col("text")).as("sk"))
+        .as[(Long, Long)].collect()
+      val exactSim = (for {
+        i <- sk.indices.iterator; j <- ((i + 1) until sk.length).iterator
+        if java.lang.Long.bitCount(sk(i)._2 ^ sk(j)._2) <= 3
+      } yield (math.min(sk(i)._1, sk(j)._1),
+        math.max(sk(i)._1, sk(j)._1))).toSet
+      val banded = graft.ops.Dedup.simhashNearDups(sample, maxDistance = 3)
+        .select(col("a"), col("b")).as[(Long, Long)].collect()
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      sample.unpersist()
+      Map("minhash_mod10" -> mh,
+        "minhash_twin_pairs" -> twin.size.toDouble,
+        "simhash_exact_eq" -> (if (banded == exactSim) 1.0 else 0.0))
+    } catch { case _: Throwable => Map.empty }
+
   /** Hot-cell drop accounting at the shipped IVF operating point —
     * two-level splitting should keep this at 0; reported every round so
     * silent truncation can never read as full coverage. */
@@ -276,6 +327,7 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     var results = Seq.empty[(String, Double)]
     var recalls = Map.empty[String, Double]
+    var dedupRec = Map.empty[String, Double]
     var drops = -1L
     var lshDropCount = -1L
     if (mode != "extract") {
@@ -291,6 +343,7 @@ object Bench {
       val p2 = timedPass()
       results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
       recalls = annRecalls(spark, sfDir)
+      dedupRec = dedupRecalls(spark, sfDir)
       drops = ivfDrops(spark, sfDir)
       lshDropCount = lshDrops(spark, sfDir)
     }
@@ -420,13 +473,16 @@ object Bench {
     val total = results.map(_._2).sum
     val recallJson = recalls.toSeq.sorted
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val dedupJson = dedupRec.toSeq.sorted
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"machine_mem_ceiling":$memCeil%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"dedup_recall":$dedupJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"machine_mem_ceiling":$memCeil%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
 
     writeBenchBaseline(sfDir, total, results, nPages, nCores, cores4N, cpus,
       rateN, rate4N, ratePeak, gbPeak, efficiency, ceiling, memCeil, recalls,
-      round, rateNMed, rate4NMed, efficiencyMed, drops, lshDropCount)
+      round, rateNMed, rate4NMed, efficiencyMed, drops, lshDropCount,
+      dedupRec)
   }
 
   private def writeBenchBaseline(
@@ -436,7 +492,8 @@ object Bench {
       eff: Double, ceiling: Double, memCeil: Double,
       recalls: Map[String, Double],
       rounds: Int, rateNMed: Double, rate4NMed: Double,
-      effMed: Double, drops: Long, lshDropCount: Long): Unit = {
+      effMed: Double, drops: Long, lshDropCount: Long,
+      dedupRec: Map[String, Double]): Unit = {
     val md = new StringBuilder
     md ++= "# BENCH — measured throughput (this sandbox)\n\n"
     md ++= "Generated by `graft.Bench` from the same run that produced the "
@@ -506,6 +563,19 @@ object Bench {
       md ++= "dropping members); LSH bucket-cap drops: "
       md ++= s"$lshDropCount (byte-identical floods collapse in the "
       md ++= "exact pre-pass before the cap can bind).\n\n"
+    }
+    if (dedupRec.nonEmpty) {
+      md ++= "## Dedup recall vs exact twins (%10 document sample)\n\n"
+      md ++= "| metric | value |\n|---|---|\n"
+      dedupRec.toSeq.sorted.foreach { case (k, v) =>
+        md ++= f"| $k | $v%.3f |\n"
+      }
+      md ++= "\n`minhash_mod10` = pooled pair-recall of minhashNearDups"
+      md ++= "(0.5) vs the exact shingle-Jaccard ≥ 0.5 twin; "
+      md ++= "`simhash_exact_eq` = 1 iff the banded ≤3-bit candidate set "
+      md ++= "EQUALS the exact quadratic hamming pass (pigeonhole "
+      md ++= "contract). The driver-visible oracle gate is the "
+      md ++= "`x_dedup_recall` query row.\n\n"
     }
     md ++= f"## Query timings (local[$peakCores], `$sfDir`)\n\n"
     md ++= "| query | sec |\n|---|---|\n"

@@ -367,7 +367,19 @@ object SparkEntry {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val n = emb.count()
-      val brute = Similarity.bruteCosineTopK(emb, emb, 5)
+      // deterministic quarter sample of queries: the gate's statistical
+      // power doesn't need all n probes, and the forced machinery's
+      // probe/join/window cost scales with |queries| (the index itself
+      // still covers the FULL corpus — what the gate measures). The
+      // brute side uses the broadcast query-block kernel on the same
+      // sample (≈4× less work than the old all-queries form; the
+      // general form already computes each (query, row) pair once).
+      // cache the corpus for the gate's many passes (brute, Lloyd
+      // iterations, assignment, probes, two join-backs) — without it
+      // every action re-reads the parquet scan
+      emb.cache()
+      val sampleQ = emb.filter(col("vec_id") % 4 === 0)
+      val brute = Similarity.bruteCosineTopK(emb, sampleQ, 5)
         .select(col("query_id"), col("neighbor_id"))
       brute.cache()
       val bruteRows = brute.count()
@@ -377,14 +389,82 @@ object SparkEntry {
         math.round(hits.toDouble * 1000000.0 / math.max(bruteRows, 1L))
       }
       val ivfR = recallE6(graft.ops.IvfIndex.topK(emb,
-        graft.ops.IvfIndex.train(emb, knownN = n), 5))
+        graft.ops.IvfIndex.train(emb, knownN = n), 5, queries = sampleQ))
       val lshR = recallE6(Similarity.lshCosineTopK(emb, 5,
         signBits = Similarity.signBitsFor(n),
-        tables = Similarity.DefaultTables))
+        tables = Similarity.DefaultTables, queries = sampleQ))
       brute.unpersist()
+      emb.unpersist()
       Seq(("ivf", bruteRows, if (ivfR >= 900000L) 1L else 0L),
         ("lsh", bruteRows, if (lshR >= 900000L) 1L else 0L))
         .toDF("method", "brute_rows", "recall_ok")
+        .orderBy(col("method"))
+    }),
+
+    // ---- dedup recall gate (driver-visible) -----------------------------
+    // the minhash/simhash twin of x_ann_recall: pooled pair-recall of the
+    // approximate dedup paths vs their exact twins, emitted as GATED rows.
+    // Sample = exact-dedup survivors of the FIRST 300 doc_ids (fixed-size,
+    // so the quadratic twin cost is scale-bounded; at the driver's
+    // correctness scale sf0.01 it holds 7 J≥0.5 twin pairs and 6
+    // hamming≤3 pairs — non-degenerate). minhash: twin = exact
+    // shingle-Jaccard ≥ 0.5 pairs (the x_jaccard_exact construction —
+    // DuckDB recomputes twin_pairs independently), recall_ok = 1 iff
+    // found/twin ≥ 0.9. simhash: twin = the exact quadratic hamming ≤ 3
+    // pass over the same sketches (non-SQL → twin_pairs = −1 sentinel);
+    // banding is pigeonhole-exact at ≤ 3 bits, so recall_ok = 1 iff the
+    // banded set EQUALS the exact set. A dedup recall regression flips
+    // the flag and turns this row red in CORRECTNESS.
+    "x_dedup_recall" -> ((s, dir) => {
+      import s.implicits._
+      val sample = graft.ops.Dedup.exactSurvivors(
+        t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text")))
+      sample.cache()
+      // exact shingle-Jaccard twin pairs (same shingles as the oracle)
+      val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+      val d = sample
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("nt", size(col("toks")))
+        .withColumn("sh",
+          when(col("nt") >= 3, array_distinct(
+            transform(sequence(lit(1), col("nt") - 2), i =>
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2)))))
+            .when(col("nt") > 0, array(concat_ws(" ", col("toks"))))
+            .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), array_sort(col("sh")).as("sh"))
+      val pa = d.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+      val pb = d.select(col("doc_id").as("b"), col("sh").as("sh_b"))
+      val inter = graft.sql.GraftFunctions.graft_sorted_overlap(
+        col("sh_a"), col("sh_b"))
+      val twin = pa.join(broadcast(pb), col("a") < col("b"))
+        .withColumn("inter", inter)
+        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+        .filter(col("uni") > 0)
+        .filter(round(col("inter") * lit(1000000.0) / col("uni"))
+          .cast("long") >= 500000L)
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+      val found = graft.ops.Dedup.minhashNearDups(sample, threshold = 0.5)
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+      val mhOk = twin.isEmpty ||
+        twin.count(found.contains).toDouble / twin.size >= 0.9
+      // simhash: banded candidates (≤3 bits) must EQUAL the exact
+      // quadratic hamming pass (pigeonhole guarantee)
+      val sk = sample.select(col("doc_id"),
+        graft_simhash(col("text")).as("sk"))
+      val sa = sk.select(col("doc_id").as("a"), col("sk").as("sk_a"))
+      val sb = sk.select(col("doc_id").as("b"), col("sk").as("sk_b"))
+      val exactSim = sa.join(broadcast(sb), col("a") < col("b"))
+        .filter(bit_count(col("sk_a").bitwiseXOR(col("sk_b"))) <= 3)
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+      val banded = graft.ops.Dedup.simhashNearDups(sample, maxDistance = 3)
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+      sample.unpersist()
+      Seq(("minhash", twin.size.toLong, if (mhOk) 1L else 0L),
+        ("simhash", -1L, if (banded == exactSim) 1L else 0L))
+        .toDF("method", "twin_pairs", "recall_ok")
         .orderBy(col("method"))
     }),
 
@@ -819,15 +899,46 @@ object SparkEntry {
         "FROM e a JOIN e b ON a.vec_id < b.vec_id) " +
         "SELECT a, b FROM p WHERE cos >= 0.3 ORDER BY a, b"),
 
-    // brute side of the recall gate recomputed independently: every
-    // vec_id is a query with min(5, n−1) exact top-k rows; recall_ok
-    // must be 1 for both methods (the Spark side flips it to 0 when the
-    // forced approximate path drops below 0.9 pooled recall)
+    // brute side of the recall gate recomputed independently: the gate
+    // probes the deterministic quarter sample (vec_id % 4 = 0), each
+    // sampled query has min(5, n−1) exact top-k rows; recall_ok must be
+    // 1 for both methods (the Spark side flips it to 0 when the forced
+    // approximate path drops below 0.9 pooled recall on the sample)
     "x_ann_recall" ->
-      ("WITH n AS (SELECT count(*) AS cnt FROM embeddings) " +
-        "SELECT method, CAST(cnt * least(5, cnt - 1) AS BIGINT) AS brute_rows, " +
+      ("WITH n AS (SELECT count(*) AS cnt FROM embeddings), " +
+        "q AS (SELECT count(*) AS qn FROM embeddings WHERE vec_id % 4 = 0) " +
+        "SELECT method, CAST(qn * least(5, cnt - 1) AS BIGINT) AS brute_rows, " +
         "CAST(1 AS BIGINT) AS recall_ok " +
-        "FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'), n " +
+        "FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'), n, q " +
+        "ORDER BY method"),
+
+    // dedup-recall gate: twin_pairs for the minhash row is the exact
+    // shingle-Jaccard ≥ 0.5 pair count over the SAME survivor sample,
+    // recomputed here independently (x_jaccard_exact construction);
+    // the simhash twin is the in-engine quadratic hamming pass (the
+    // sketch is not SQL) → −1 sentinel. recall_ok must be 1 for both —
+    // the Spark side flips it on a pooled-recall (<0.9) or
+    // banded≠exact regression.
+    "x_dedup_recall" ->
+      ("WITH surv AS (SELECT min(doc_id) AS doc_id, text FROM documents " +
+        "WHERE doc_id < 300 GROUP BY text), " +
+        "d AS (SELECT doc_id, list_filter(regexp_split_to_array(" +
+        "lower(text), '\\s+'), t -> t <> '') AS toks FROM surv), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
+        "list_distinct(list_transform(range(1, len(toks) - 1), " +
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) " +
+        "WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] " +
+        "ELSE [] END AS sh FROM d), " +
+        "p AS (SELECT len(list_intersect(a.sh, b.sh)) AS inter, " +
+        "len(a.sh) + len(b.sh) AS szsum FROM s a JOIN s b " +
+        "ON a.doc_id < b.doc_id), " +
+        "tw AS (SELECT count(*) AS twin FROM p WHERE szsum - inter > 0 " +
+        "AND CAST(round(inter * 1000000.0 / (szsum - inter)) AS BIGINT) " +
+        ">= 500000) " +
+        "SELECT method, twin_pairs, recall_ok FROM (" +
+        "SELECT 'minhash' AS method, CAST(twin AS BIGINT) AS twin_pairs, " +
+        "CAST(1 AS BIGINT) AS recall_ok FROM tw " +
+        "UNION ALL SELECT 'simhash', CAST(-1 AS BIGINT), CAST(1 AS BIGINT)) " +
         "ORDER BY method"),
 
     // expected canonical forms derived independently from the known

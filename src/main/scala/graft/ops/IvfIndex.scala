@@ -309,8 +309,12 @@ object IvfIndex {
       nprobe: Int = DefaultNProbe,
       cellCap: Int = DefaultCellCap,
       replicas: Int = DefaultReplicas,
-      subProbe: Int = DefaultSubProbe): DataFrame = {
+      subProbe: Int = DefaultSubProbe,
+      queries: DataFrame = null): DataFrame = {
     val sc = corpus.sparkSession.sparkContext
+    // query-set search: probe fan-out, candidate join and ranking window
+    // all scale with |queries| instead of n (queries default = corpus)
+    val qsrc = if (queries == null) corpus else queries
     val bcCents = sc.broadcast(centroids)
     val assigned = assignMulti(corpus, bcCents, replicas)
     val bcSub = sc.broadcast(trainSubCells(assigned, cellCap))
@@ -348,14 +352,14 @@ object IvfIndex {
       }
       out.result()
     })
-    val queries = corpus
+    val probes = qsrc
       .select(col("vec_id").as("query_id"),
         explode(probeUdf(col("embedding"))).as("ckey"))
-    val pairs = queries.join(candidates, Seq("ckey"))
+    val pairs = probes.join(candidates, Seq("ckey"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id") // ×replicas/probes sightings
-    val embQ = corpus.select(col("vec_id").as("query_id"),
+    val embQ = qsrc.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
     val embN = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("neighbor_emb"))
@@ -380,9 +384,17 @@ object IvfIndex {
       cellCap: Int = DefaultCellCap,
       replicas: Int = DefaultReplicas,
       subProbe: Int = DefaultSubProbe,
-      knownN: Long = -1L): DataFrame = {
+      knownN: Long = -1L,
+      broadcastBudget: Long = Similarity.DefaultBroadcastBudgetBytes)
+      : DataFrame = {
     val n = if (knownN >= 0L) knownN else corpus.count()
-    if (n < BruteCrossover) Similarity.bruteCosineTopKSelf(corpus, k)
+    // row crossover AND collected-byte budget (short-circuit keeps the
+    // 1-row dim probe off the large-corpus path): wide vectors below
+    // the row crossover but above the byte budget take the indexed path
+    // instead of a driver-OOM-sized collect
+    if (n < BruteCrossover && Similarity.routesToBrute(n,
+        Similarity.embDim(corpus), BruteCrossover, broadcastBudget))
+      Similarity.bruteCosineTopKSelf(corpus, k)
     else topK(corpus, train(corpus, knownN = n), k, nprobe, cellCap,
       replicas, subProbe)
   }

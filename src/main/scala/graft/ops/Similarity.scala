@@ -78,6 +78,15 @@ object Similarity {
     val q = queries
       .select(col("vec_id"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // fail fast with a named invariant instead of an opaque driver OOM:
+    // the query block is broadcast to every task (auto routes enforce
+    // this BEFORE collecting via routesToBrute; direct callers get the
+    // same bound asserted here)
+    val qBytes = q.iterator.map(t =>
+      if (t._2 == null) 0L else t._2.length * 4L).sum
+    require(qBytes <= DefaultBroadcastBudgetBytes,
+      s"brute query set is $qBytes B > broadcast budget " +
+        s"$DefaultBroadcastBudgetBytes B — use the LSH/IVF indexed path")
     // norms precomputed per vector (sqrt of the same left-to-right
     // fold): recomputing both norms per PAIR tripled the inner-loop
     // flops for identical bits
@@ -166,6 +175,11 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
     val all = rows.collect().sortBy(_._1)
+    val allBytes = all.iterator.map(t =>
+      if (t._2 == null) 0L else t._2.length * 4L).sum
+    require(allBytes <= DefaultBroadcastBudgetBytes,
+      s"exact all-pairs corpus is $allBytes B > broadcast budget " +
+        s"$DefaultBroadcastBudgetBytes B — use cosineNearDups' indexed path")
     val bc = spark.sparkContext.broadcast(
       (all.map(_._1), all.map(_._2), all.map(r => SimilarityKernel.sqrtNorm(r._2))))
     rows.mapPartitions { it =>
@@ -186,6 +200,32 @@ object Similarity {
       }
     }.toDF("a", "b", "cos")
   }
+
+  /** Byte budget for the collect-and-broadcast exact kernels
+    * ([[bruteCosineTopKSelf]] / [[exactCosineNearDups]] collect the full
+    * corpus to the driver, as a broadcast join would). The row-count
+    * crossovers alone leave the collected bytes implicit in the vector
+    * dimension — a corpus of wide vectors just under the crossover
+    * could otherwise OOM the driver where the indexed path would not.
+    * 256 MB ≈ the crossover row counts × dim 2048 × 4 B, comfortably
+    * inside a default driver heap; auto routes fall through to the
+    * indexed path when the corpus exceeds it. */
+  val DefaultBroadcastBudgetBytes: Long = 256L << 20
+
+  /** Embedding dimension from one row (a 1-row head job — only probed
+    * when n is already below a row crossover, never on the large-corpus
+    * path); 0 for an empty corpus. */
+  private[ops] def embDim(corpus: DataFrame): Int = {
+    val rows = corpus.select(size(col("embedding")).as("d")).head(1)
+    if (rows.isEmpty) 0 else rows(0).getInt(0)
+  }
+
+  /** The auto-route decision, pure for unit testing: brute only when the
+    * corpus is below BOTH the row crossover AND the broadcast byte
+    * budget. */
+  private[ops] def routesToBrute(n: Long, dim: Int, crossover: Long,
+      budget: Long): Boolean =
+    n < crossover && n * dim.toLong * 4L <= budget
 
   /** Default expected within-bucket population the bit count aims for. */
   val TargetBucketSize = 64
@@ -307,9 +347,17 @@ object Similarity {
     * Catalyst pick broadcast (small corpus) or shuffled hash join
     * (10^12 rows) per side. `symmetric = false` keeps only a < b. */
   private def candidatePairs(corpus: DataFrame, signBits: Int, tables: Int,
-      knownN: Long, symmetric: Boolean, bucketCap: Int): DataFrame = {
+      knownN: Long, symmetric: Boolean, bucketCap: Int,
+      queryIds: DataFrame = null): DataFrame = {
     val ids = cappedIds(corpus, signBits, tables, knownN, bucketCap)
-    val left = ids.select(col("bucket"), col("vec_id").as("a"))
+    val left0 = ids.select(col("bucket"), col("vec_id").as("a"))
+    // query-set search (a ∈ queries, b ∈ corpus): restrict the LEFT side
+    // BEFORE the bucket self-join — the join output shrinks by |Q|/n,
+    // not just the final window
+    val left =
+      if (queryIds == null) left0
+      else left0.join(queryIds.select(col("vec_id").as("a")),
+        Seq("a"), "left_semi")
     val right = ids.select(col("bucket"), col("vec_id").as("b"))
     val cond = if (symmetric) col("a") =!= col("b") else col("a") < col("b")
     left.join(right, Seq("bucket"))
@@ -354,20 +402,32 @@ object Similarity {
     * fixed them. Candidates share ANY table's bucket; exact cosine
     * inside. Explicit `signBits` forces the LSH path at exactly the
     * given operating point (recall measurement). Recall < 1 only on the
-    * forced/large-n path (OpsSpec asserts ≥ 0.9 against brute). */
+    * forced/large-n path (OpsSpec asserts ≥ 0.9 against brute).
+    *
+    * `queries` (optional) restricts the search to a query subset
+    * (query ∈ queries, neighbor ∈ corpus) — the left side of the bucket
+    * join is semi-joined down BEFORE the pair fan-out. `broadcastBudget`
+    * bounds the bytes the brute route may collect ([[routesToBrute]]):
+    * a wide-vector corpus below the ROW crossover but above the BYTE
+    * budget takes the indexed path instead of a driver OOM. */
   def lshCosineTopK(corpus: DataFrame, k: Int, signBits: Int = -1,
       tables: Int = -1, knownN: Long = -1L,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+      bucketCap: Int = DefaultBucketCap,
+      queries: DataFrame = null,
+      broadcastBudget: Long = DefaultBroadcastBudgetBytes): DataFrame = {
     val auto = signBits <= 0
     val tablesForCross = if (tables > 0) tables else DefaultTables
     val n = if (!auto) -1L else if (knownN >= 0L) knownN else corpus.count()
-    if (auto && n < lshCrossover(tablesForCross))
-      return bruteCosineTopKSelf(corpus, k)
+    if (auto && n < lshCrossover(tablesForCross) &&
+        routesToBrute(n, embDim(corpus), lshCrossover(tablesForCross),
+          broadcastBudget))
+      return if (queries == null) bruteCosineTopKSelf(corpus, k)
+        else bruteCosineTopK(corpus, queries, k)
     val bits = if (auto) signBitsFor(n) else signBits
     val tbl = if (tables > 0) tables else if (auto) tablesFor(bits)
       else DefaultTables
     val pairs = candidatePairs(corpus, bits, tbl, n,
-      symmetric = true, bucketCap)
+      symmetric = true, bucketCap, queryIds = queries)
       .select(col("a").as("query_id"), col("b").as("neighbor_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -388,7 +448,8 @@ object Similarity {
   def cosineNearDups(corpus: DataFrame, threshold: Double,
       signBits: Int = -1, tables: Int = -1,
       knownN: Long = -1L, exactPrepass: Boolean = true,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+      bucketCap: Int = DefaultBucketCap,
+      broadcastBudget: Long = DefaultBroadcastBudgetBytes): DataFrame = {
     // mass byte-identical embeddings collapse to one representative
     // BEFORE bucketing (they are exact-dedup output, not near-dup
     // pairs) — same defusal as minhashNearDups' exact pre-pass
@@ -397,7 +458,11 @@ object Similarity {
     val tablesForCross = if (tables > 0) tables else DefaultTables
     // n for the crossover is the SURVIVOR count (what the index sees)
     val n = if (!auto) -1L else if (knownN >= 0L) knownN else base.count()
-    if (auto && n < lshCrossover(tablesForCross))
+    // && short-circuit keeps the embDim head-probe off the large-corpus
+    // path (base is a groupBy plan — never partially execute it at scale)
+    if (auto && n < lshCrossover(tablesForCross) &&
+        routesToBrute(n, embDim(base), lshCrossover(tablesForCross),
+          broadcastBudget))
       return exactCosineNearDups(base, threshold)
     val bits = if (auto) signBitsFor(n) else signBits
     val tbl = if (tables > 0) tables else if (auto) tablesFor(bits)

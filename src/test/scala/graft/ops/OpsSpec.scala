@@ -422,6 +422,60 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.tablesFor(4) == 12)
   }
 
+  test("broadcast byte budget gates the brute route, not just row count") {
+    // pure route decision: below the row crossover AND within the byte
+    // budget → brute; wide vectors blow the budget first
+    val cross = Similarity.lshCrossover()
+    assert(Similarity.routesToBrute(1000, 64, cross, 256L << 20))
+    assert(!Similarity.routesToBrute(cross, 64, cross, 256L << 20))
+    // 20k rows × dim 4096 × 4 B = 320 MB > 256 MB although 20k < crossover
+    assert(!Similarity.routesToBrute(20000, 4096, cross, 256L << 20))
+    assert(Similarity.routesToBrute(20000, 64, cross, 256L << 20))
+
+    // end-to-end: a corpus below the row crossover but above a (test)
+    // byte budget must take the INDEXED path — its plan joins candidate
+    // pairs; the brute kernel's plan has no Join at all
+    val emb = clusteredEmb(300, 32, 6, seed = 5)
+    val viaBrute = Similarity.lshCosineTopK(emb, k = 3)
+    assert(!viaBrute.queryExecution.optimizedPlan.toString.contains("Join"))
+    val viaIndex = Similarity.lshCosineTopK(emb, k = 3,
+      broadcastBudget = 1024L)
+    assert(viaIndex.queryExecution.optimizedPlan.toString.contains("Join"))
+    assert(viaIndex.groupBy($"query_id").count()
+      .agg(max($"count")).as[Long].collect()(0) <= 3)
+    val ivfViaIndex = IvfIndex.topKAuto(emb, 3, broadcastBudget = 1024L)
+    assert(ivfViaIndex.queryExecution.optimizedPlan.toString.contains("Join"))
+    assert(ivfViaIndex.count() > 0)
+  }
+
+  test("query-set ANN search restricts probes to the query subset") {
+    val emb = clusteredEmb(400, 32, 8, seed = 23)
+    val sample = emb.filter($"vec_id" % 4 === 0)
+    val sampleIds = sample.select($"vec_id").as[Long].collect().toSet
+
+    def check(approx: org.apache.spark.sql.DataFrame): Unit = {
+      val got = approx.select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      assert(got.keySet.subsetOf(sampleIds), "answers only for queries")
+      assert(got.size >= sampleIds.size / 2, "most queries answered")
+      // pooled recall vs the brute answer on the same queries
+      val brute = Similarity.bruteCosineTopK(emb, sample, 5)
+        .select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      val hits = brute.iterator.map { case (q, exact) =>
+        got.getOrElse(q, Set.empty).intersect(exact).size }.sum
+      val total = brute.valuesIterator.map(_.size).sum
+      assert(hits.toDouble / total >= 0.9,
+        s"query-set recall ${hits.toDouble / total}")
+    }
+    check(Similarity.lshCosineTopK(emb, k = 5,
+      signBits = Similarity.signBitsFor(400),
+      tables = Similarity.DefaultTables, queries = sample))
+    check(IvfIndex.topK(emb, IvfIndex.train(emb), k = 5, queries = sample))
+  }
+
   test("sign bits scale with corpus size") {
     assert(Similarity.signBitsFor(500) == 4) // recall-first small-corpus floor
     assert(Similarity.signBitsFor(1000000) > 8)
