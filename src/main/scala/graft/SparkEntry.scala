@@ -496,10 +496,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- multimodal plumbing (stubbed codec; real Spark shape) ----------
-    // metadata is modular arithmetic over media_id, so the DuckDB oracle
-    // independently verifies the encode→decode round trip (the feature
-    // vector itself stays rows-only: the stub codec is not SQL)
+    // ---- multimodal plumbing (real PNG/BMP/WAV/AVI containers) ----------
+    // metadata is modular arithmetic over media_id and every payload is
+    // a real parsed container, so the DuckDB oracle independently
+    // verifies the encode→decode round trip (the feature vector stays
+    // rows-only: the byte-histogram embedding stand-in is not SQL)
     "x_multimodal_features" -> ((s, _) => {
       val media = Multimodal.synth(s, 300, 4)
       Multimodal.extractFeatures(media).toDF()
@@ -1027,35 +1028,43 @@ object SparkEntry {
         "WHEN doc_id % 6 = 4 THEN 'Diners Club - International' " +
         "ELSE 'unknown' END AS brand FROM n ORDER BY doc_id"),
 
-    // the codec metadata contract, recomputed independently: kind =
-    // id%3, width = 16+(id*7919)%64, height = 16+(id*104729)%64,
-    // frames = video ? 1+(id*13)%30 : 1. Image rows are REAL files
-    // whose byte lengths follow the ImageHeaders closed forms — PNG
-    // (id%6=0): 68 + h·(1+3w); BMP (id%6=3): 54 + h·((3w+3)//4·4);
-    // audio/video keep the stub's 17 + 64+(id*31)%192. The Spark side
-    // reads width/height back OUT of the real PNG/BMP headers, so this
-    // oracle verifies the actual encode→parse round trip.
+    // the container metadata contract, recomputed independently —
+    // every payload is a REAL file (PNG %6=0, BMP %6=3, WAV %3=1, AVI
+    // %3=2) and the Spark side reads the metadata back OUT of the real
+    // headers, so this oracle verifies the actual encode→parse round
+    // trip. Closed forms: image width = 16+(id·7919)%64, height =
+    // 16+(id·104729)%64, bytes PNG = 68 + h·(1+3w), BMP = 54 +
+    // h·((3w+3)//4·4); audio width = channels = 1+id%2, height =
+    // sample rate = 8000+100·((id·7919)%64), n_frames = PCM frames =
+    // 64+(id·31)%192, bytes = 44 + frames·channels·2; video n_frames =
+    // 1+(id·13)%30, bytes = 108 + bodyLen + (bodyLen%2) with bodyLen =
+    // 64+(id·31)%192 (RIFF even-padding).
     "x_multimodal_features" ->
       ("WITH g AS (SELECT doc_id, 16 + (doc_id * 7919) % 64 AS w, " +
-        "16 + (doc_id * 104729) % 64 AS h FROM documents WHERE doc_id < 300) " +
+        "16 + (doc_id * 104729) % 64 AS h, " +
+        "1 + doc_id % 2 AS ch, 8000 + 100 * ((doc_id * 7919) % 64) AS rate, " +
+        "64 + (doc_id * 31) % 192 AS blen " +
+        "FROM documents WHERE doc_id < 300) " +
         "SELECT doc_id AS media_id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
         "ELSE 'video' END AS kind, " +
-        "CAST(w AS BIGINT) AS width, " +
-        "CAST(h AS BIGINT) AS height, " +
-        "CASE WHEN doc_id % 3 = 2 THEN CAST(1 + (doc_id * 13) % 30 AS BIGINT) " +
-        "ELSE 1 END AS n_frames, " +
+        "CAST(CASE doc_id % 3 WHEN 1 THEN ch ELSE w END AS BIGINT) AS width, " +
+        "CAST(CASE doc_id % 3 WHEN 1 THEN rate ELSE h END AS BIGINT) AS height, " +
+        "CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN blen " +
+        "ELSE 1 + (doc_id * 13) % 30 END AS BIGINT) AS n_frames, " +
         "CAST(CASE WHEN doc_id % 6 = 0 THEN 68 + h * (1 + 3 * w) " +
         "WHEN doc_id % 6 = 3 THEN 54 + h * (((3 * w + 3) // 4) * 4) " +
-        "ELSE 81 + (doc_id * 31) % 192 END AS BIGINT) AS bytes " +
+        "WHEN doc_id % 3 = 1 THEN 44 + blen * ch * 2 " +
+        "ELSE 108 + blen + blen % 2 END AS BIGINT) AS bytes " +
         "FROM g ORDER BY media_id"),
 
     "x_multimodal_frames" ->
       ("WITH m AS (SELECT doc_id AS media_id, " +
         "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
         "ELSE 'video' END AS kind, " +
-        "CASE WHEN doc_id % 3 = 2 THEN 1 + (doc_id * 13) % 30 ELSE 1 END " +
-        "AS n_frames FROM documents WHERE doc_id < 200) " +
+        "CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 64 + (doc_id * 31) % 192 " +
+        "ELSE 1 + (doc_id * 13) % 30 END AS n_frames " +
+        "FROM documents WHERE doc_id < 200) " +
         "SELECT media_id, kind, " +
         "CAST(unnest(range(0, CAST(n_frames AS BIGINT), 5)) AS BIGINT) AS frame " +
         "FROM m ORDER BY media_id, frame"),

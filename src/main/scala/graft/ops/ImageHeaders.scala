@@ -14,8 +14,8 @@ package graft.ops
   *  - BMP total = 14 + 40 + h · rowSize, rowSize = ((3·w + 3) / 4) · 4.
   *
   * Public-spec formats: PNG per RFC 2083 / ISO 15948, BMP per the
-  * Windows BITMAPINFOHEADER layout. Audio/video remain behind the
-  * labeled stub in [[MediaCodecStub]] (no codecs in this container).
+  * Windows BITMAPINFOHEADER layout. Audio/video use real RIFF
+  * containers — see [[RiffContainers]] (WAV and AVI).
   */
 object ImageHeaders {
 
@@ -155,5 +155,159 @@ object ImageHeaders {
       i += 1
     }
     bb.array()
+  }
+}
+
+/** Pure-Scala RIFF container codecs for audio/video media rows — real
+  * public-spec formats (no AV codec libraries needed for container
+  * metadata): WAV per the Microsoft/IBM RIFF WAVE layout (RIFF +
+  * `fmt ` PCM chunk + `data` chunk) and AVI per the RIFF AVI layout
+  * (RIFF + LIST `hdrl` with the 56-byte `avih` main header + LIST
+  * `movi` with one frame chunk). The encoders emit valid minimal files
+  * with closed-form byte lengths, so the DuckDB oracle recomputes
+  * `bytes` per row independently:
+  *
+  *  - WAV total = 12 (RIFF hdr) + 24 (fmt) + 8 (data hdr) + dataLen
+  *    = 44 + nFrames · channels · 2 (16-bit PCM).
+  *  - AVI total = 12 (RIFF hdr) + 76 (LIST hdrl + avih) + 12 (LIST
+  *    movi hdr) + 8 (00dc hdr) + bodyLen + (bodyLen mod 2) (RIFF
+  *    chunks pad to even) = 108 + bodyLen + (bodyLen mod 2).
+  */
+object RiffContainers {
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def tagAt(b: Array[Byte], off: Int, tag: String): Boolean =
+    off + 4 <= b.length && b(off) == tag.charAt(0) && b(off + 1) == tag.charAt(1) &&
+      b(off + 2) == tag.charAt(2) && b(off + 3) == tag.charAt(3)
+
+  def isWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 44 && tagAt(b, 0, "RIFF") && tagAt(b, 8, "WAVE")
+
+  def isAvi(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 && tagAt(b, 0, "RIFF") && tagAt(b, 8, "AVI ")
+
+  /** Minimal valid 16-bit PCM WAV with deterministic samples. */
+  def encodeWav(channels: Int, sampleRate: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataLen = nFrames * blockAlign
+    val total = 44 + dataLen
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1) // PCM
+    bb.putShort(channels.toShort)
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * blockAlign) // byte rate
+    bb.putShort(blockAlign.toShort)
+    bb.putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var x = seed | 1L
+    var i = 0
+    while (i < dataLen / 2) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      bb.putShort((x >>> 48).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** (channels, sampleRate, pcmFrames) from real fmt/data chunk bytes —
+    * chunk-walk, not fixed offsets (a LIST or fact chunk before `data`
+    * parses fine). None when not a PCM-bearing WAV. */
+  def decodeWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!isWav(b)) return None
+    var off = 12
+    var channels = -1; var rate = -1; var blockAlign = -1; var dataLen = -1
+    while (off + 8 <= b.length) {
+      val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      if (tagAt(b, off, "fmt ") && size >= 16) {
+        channels = le16(b, off + 10)
+        rate = le32(b, off + 12)
+        blockAlign = le16(b, off + 20)
+      } else if (tagAt(b, off, "data")) dataLen = size
+      off += 8 + size + (size & 1)
+    }
+    if (channels <= 0 || rate <= 0 || blockAlign <= 0 || dataLen < 0) None
+    else Some((channels, rate, dataLen / blockAlign))
+  }
+
+  /** Minimal valid AVI: LIST hdrl (avih main header with real
+    * width/height/totalFrames) + LIST movi with one `00dc` frame chunk
+    * of `bodyLen` deterministic bytes. */
+  def encodeAvi(w: Int, h: Int, frames: Int, bodyLen: Int,
+      seed: Long): Array[Byte] = {
+    val pad = bodyLen & 1
+    val total = 108 + bodyLen + pad
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("AVI ".getBytes("US-ASCII"))
+    // LIST hdrl: 4 (type) + 8 + 56 (avih) = 68
+    bb.put("LIST".getBytes("US-ASCII")).putInt(68)
+      .put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(56)
+    bb.putInt(40000) // microseconds per frame (25 fps)
+    bb.putInt(0)     // max bytes per second
+    bb.putInt(0)     // padding granularity
+    bb.putInt(0)     // flags
+    bb.putInt(frames) // total frames
+    bb.putInt(0)     // initial frames
+    bb.putInt(1)     // streams
+    bb.putInt(0)     // suggested buffer size
+    bb.putInt(w)
+    bb.putInt(h)
+    bb.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    // LIST movi: 4 (type) + 8 + bodyLen + pad
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4 + 8 + bodyLen + pad)
+      .put("movi".getBytes("US-ASCII"))
+    bb.put("00dc".getBytes("US-ASCII")).putInt(bodyLen)
+    var x = seed | 1L
+    var i = 0
+    while (i < bodyLen) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      bb.put((x >>> 56).toByte)
+      i += 1
+    }
+    if (pad == 1) bb.put(0.toByte)
+    bb.array()
+  }
+
+  /** (width, height, totalFrames) from the real avih chunk — LIST-walk
+    * to hdrl/avih rather than fixed offsets. None when absent. */
+  def decodeAvi(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!isAvi(b)) return None
+    var off = 12
+    while (off + 12 <= b.length) {
+      val size = le32(b, off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None
+      if (tagAt(b, off, "LIST") && tagAt(b, off + 8, "hdrl")) {
+        // chunks inside the hdrl list; avih is required first
+        var in = off + 12
+        val end = off + 8 + size
+        while (in + 8 <= end) {
+          val csize = le32(b, in + 4)
+          if (csize < 0 || in + 8 + csize > end) return None
+          if (tagAt(b, in, "avih") && csize >= 56) {
+            val frames = le32(b, in + 8 + 16)
+            val w = le32(b, in + 8 + 32)
+            val h = le32(b, in + 8 + 36)
+            return if (w <= 0 || h <= 0) None else Some((w, h, frames))
+          }
+          in += 8 + csize + (csize & 1)
+        }
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
   }
 }

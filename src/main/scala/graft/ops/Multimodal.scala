@@ -6,16 +6,22 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata.
   *
-  * IMAGE rows are REAL containers: the synthesizer emits valid PNG and
-  * BMP files and the decode step parses their actual headers
-  * ([[ImageHeaders]] — PNG signature + IHDR, BMP BITMAPINFOHEADER), so
-  * `width`/`height` come out of real file bytes. AUDIO/VIDEO decode
-  * remains STUBBED (this container ships no AV codecs) behind
-  * [[MediaCodecStub]] — a deterministic fake that parses our own
-  * synthetic header format. Everything Spark-side is real and tested:
-  * schema, size-aware repartitioning, batched per-partition processing
-  * (the Scala analog of `mapInPandas` batch shape), and the feature
-  * schema `array<float>`.
+  * Every payload is a REAL container parsed from its actual bytes:
+  * images are valid PNG/BMP files ([[ImageHeaders]] — PNG signature +
+  * IHDR, BMP BITMAPINFOHEADER), audio is 16-bit PCM WAV and video is
+  * AVI ([[RiffContainers]] — RIFF chunk walks over `fmt `/`data` and
+  * `hdrl`/`avih`). Metadata therefore comes out of real headers, and
+  * the byte lengths follow closed forms the DuckDB oracle recomputes
+  * independently. The FEATURE vector is the one deliberate stand-in: a
+  * deterministic byte-histogram embedding in place of a learned model
+  * (this container ships no inference runtime); the Spark plumbing —
+  * schema, batched per-partition processing (the `mapInPandas` batch
+  * shape), `array<float>` feature schema — is real and tested.
+  *
+  * Per-kind metadata semantics: images/video report pixel
+  * `width`/`height`; audio reports `width` = channels, `height` =
+  * sample rate. `n_frames` = video frames / PCM frames per channel /
+  * 1 for still images.
   */
 object Multimodal {
 
@@ -33,48 +39,63 @@ object Multimodal {
       height: Int,
       n_frames: Int,
       bytes: Long,
-      features: Array[Float]) // FeatureDim-dim embedding (stub)
+      features: Array[Float]) // FeatureDim-dim embedding (stand-in)
 
   val FeatureDim = 16
 
-  /** Deterministic synthetic media table. IMAGE rows are real files —
-    * PNG for media_id % 6 == 0, BMP for % 6 == 3 — whose byte lengths
-    * follow the closed forms in [[ImageHeaders]]; audio/video rows are
-    * magic-tagged stub payloads. Metadata (and image byte lengths) are
-    * arithmetic over media_id, so the DuckDB oracle independently
-    * verifies the encode→decode round trip against the REAL header
-    * parse; only payload body/pixel bytes are seeded-random. */
+  /** Deterministic synthetic media table — real files for every kind:
+    * PNG for media_id % 6 == 0, BMP for % 6 == 3, WAV for % 3 == 1,
+    * AVI for % 3 == 2. Metadata (and byte lengths) are arithmetic over
+    * media_id, so the DuckDB oracle independently verifies the
+    * encode→decode round trip against the REAL header parses; payload
+    * body/pixel/sample bytes are seeded-deterministic. */
   def synth(spark: SparkSession, n: Long, partitions: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0L, n, 1L, partitions).map { i =>
-      val r = new java.util.Random(0xface + i * 7919L)
-      val kinds = Array("image", "audio", "video")
-      val kind = kinds((i % 3).toInt)
-      val w = (16 + (i * 7919L) % 64).toInt
-      val h = (16 + (i * 104729L) % 64).toInt
-      val frames = if (kind == "video") (1 + (i * 13L) % 30).toInt else 1
+      val kind = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
       val bodyLen = (64 + (i * 31L) % 192).toInt
-      val payload =
-        if (kind == "image") {
-          if (i % 6 == 0L) ImageHeaders.encodePng(w, h, seed = 0xface + i)
-          else ImageHeaders.encodeBmp(w, h, seed = 0xface + i)
-        } else MediaCodecStub.encode(kind, w, h, frames, bodyLen, r)
-      MediaRow(i, kind, payload, w, h)
+      kind match {
+        case "image" =>
+          val w = (16 + (i * 7919L) % 64).toInt
+          val h = (16 + (i * 104729L) % 64).toInt
+          val payload =
+            if (i % 6 == 0L) ImageHeaders.encodePng(w, h, seed = 0xface + i)
+            else ImageHeaders.encodeBmp(w, h, seed = 0xface + i)
+          MediaRow(i, kind, payload, w, h)
+        case "audio" =>
+          val channels = (1 + i % 2).toInt
+          val rate = (8000 + 100 * ((i * 7919L) % 64)).toInt
+          val frames = bodyLen // PCM frames per channel
+          MediaRow(i, kind,
+            RiffContainers.encodeWav(channels, rate, frames,
+              seed = 0xface + i),
+            channels, rate)
+        case _ =>
+          val w = (16 + (i * 7919L) % 64).toInt
+          val h = (16 + (i * 104729L) % 64).toInt
+          val frames = (1 + (i * 13L) % 30).toInt
+          MediaRow(i, kind,
+            RiffContainers.encodeAvi(w, h, frames, bodyLen,
+              seed = 0xface + i),
+            w, h)
+      }
     }
   }
 
   /** Decode + feature-extract, batched per partition (mapPartitions keeps
     * the per-batch codec state/buffer reuse — the `mapInPandas` shape).
-    * Oversized payloads become zero-feature rows, never task failures. */
+    * Undecodable payloads become zero-feature rows, never task failures. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
       val scratch = new Array[Float](FeatureDim) // per-task buffer reuse
       it.map { row =>
-        MediaCodecStub.decode(row.payload) match {
+        MediaCodec.decode(row.payload) match {
           case Some((kind, w, h, frames)) =>
-            MediaCodecStub.features(row.payload, scratch)
+            MediaCodec.features(row.payload, scratch)
             MediaFeatures(row.media_id, kind, w, h, frames,
               row.payload.length.toLong, scratch.clone())
           case None =>
@@ -86,8 +107,9 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for video rows: one output row per sampled frame
-    * (every `stride`-th), via explode — bounded fan-out. */
+  /** Frame sampling: one output row per sampled frame (every
+    * `stride`-th), via explode — bounded fan-out. Applies to video
+    * frames and PCM frames alike; still images yield frame 0. */
   def sampleFrames(features: Dataset[MediaFeatures], stride: Int): DataFrame = {
     features.toDF()
       .withColumn("frame",
@@ -97,52 +119,34 @@ object Multimodal {
   }
 }
 
-/** AUDIO/VIDEO codec stub — deterministic fake in place of real AV
-  * decoding (payload format: magic "GMM1" + kind byte + width + height
-  * + frames + body bytes; a real deployment swaps the GMM1 branch for
-  * JNI/codec calls — the Spark plumbing above is unchanged). IMAGE
-  * payloads are NOT stubbed: real PNG/BMP bytes are recognized first
-  * and parsed by [[ImageHeaders]]. */
-object MediaCodecStub {
-  private val Magic = Array[Byte]('G', 'M', 'M', '1')
+/** Container dispatch over the real codecs: PNG/BMP → image, WAV →
+  * audio, AVI → video — each parsed from its actual header bytes (no
+  * synthetic formats). A real deployment extends this dispatch with
+  * JNI/codec calls for pixel/sample DATA; the container metadata path
+  * and all Spark plumbing are already the production shape. */
+object MediaCodec {
 
-  def encode(kind: String, w: Int, h: Int, frames: Int, bodyLen: Int,
-      r: java.util.Random): Array[Byte] = {
-    val body = new Array[Byte](bodyLen)
-    r.nextBytes(body)
-    val bb = java.nio.ByteBuffer.allocate(4 + 1 + 12 + body.length)
-    bb.put(Magic)
-    bb.put((kind match {
-      case "image" => 0; case "audio" => 1; case _ => 2
-    }).toByte)
-    bb.putInt(w); bb.putInt(h); bb.putInt(frames)
-    bb.put(body)
-    bb.array()
-  }
-
-  /** Returns (kind, width, height, frames) or None for undecodable.
-    * Real PNG/BMP containers are recognized by their own magic and
-    * parsed from their actual headers; the GMM1 stub format covers
-    * audio/video. */
+  /** Returns (kind, width, height, frames); for audio width = channels
+    * and height = sample rate. None for undecodable payloads. */
   def decode(payload: Array[Byte]): Option[(String, Int, Int, Int)] = {
-    if (payload == null || payload.length < 17) return None
+    if (payload == null) return None
     ImageHeaders.decodePng(payload).foreach { case (w, h, _) =>
       return Some(("image", w, h, 1))
     }
     ImageHeaders.decodeBmp(payload).foreach { case (w, h, _) =>
       return Some(("image", w, h, 1))
     }
-    if (payload(0) != 'G' || payload(1) != 'M' || payload(2) != 'M' ||
-        payload(3) != '1') return None
-    val bb = java.nio.ByteBuffer.wrap(payload, 4, 13)
-    val kind = bb.get() match {
-      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    RiffContainers.decodeWav(payload).foreach { case (ch, rate, frames) =>
+      return Some(("audio", ch, rate, frames))
     }
-    Some((kind, bb.getInt(), bb.getInt(), bb.getInt()))
+    RiffContainers.decodeAvi(payload).foreach { case (w, h, frames) =>
+      return Some(("video", w, h, frames))
+    }
+    None
   }
 
-  /** Deterministic hash-derived feature vector (stand-in for a real
-    * embedding model); fills `out` in place. */
+  /** Deterministic byte-histogram feature vector (stand-in for a
+    * learned embedding model); fills `out` in place. */
   def features(payload: Array[Byte], out: Array[Float]): Unit = {
     java.util.Arrays.fill(out, 0.0f)
     var i = 0

@@ -213,14 +213,53 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(
       Multimodal.extractFeatures(media), stride = 5)
     assert(frames.count() >= 50)
-    // image rows are REAL containers: widths/heights were read back out
-    // of actual PNG/BMP headers and match the generator arithmetic
+    // every row is a REAL container: metadata was read back out of
+    // actual PNG/BMP/WAV/AVI headers and matches the generator
+    // arithmetic
     val images = feats.filter(_.kind == "image")
     assert(images.nonEmpty)
     images.foreach { f =>
       assert(f.width == (16 + (f.media_id * 7919L) % 64).toInt, f.toString)
       assert(f.height == (16 + (f.media_id * 104729L) % 64).toInt, f.toString)
     }
+    val audio = feats.filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    audio.foreach { f =>
+      assert(f.width == (1 + f.media_id % 2).toInt, f.toString) // channels
+      assert(f.height == (8000 + 100 * ((f.media_id * 7919L) % 64)).toInt)
+      assert(f.n_frames == (64 + (f.media_id * 31L) % 192).toInt) // PCM frames
+      assert(f.bytes == 44L + f.n_frames.toLong * f.width * 2)
+    }
+    videos.foreach { f =>
+      assert(f.n_frames == (1 + (f.media_id * 13L) % 30).toInt, f.toString)
+      val blen = (64 + (f.media_id * 31L) % 192).toInt
+      assert(f.bytes == 108L + blen + blen % 2, f.toString)
+    }
+  }
+
+  test("RiffContainers: WAV/AVI encode → chunk-walk parse round trip") {
+    val wav = RiffContainers.encodeWav(channels = 2, sampleRate = 44100,
+      nFrames = 100, seed = 5)
+    assert(RiffContainers.isWav(wav))
+    assert(RiffContainers.decodeWav(wav) == Some((2, 44100, 100)))
+    assert(wav.length == 44 + 100 * 2 * 2) // closed-form length
+    val avi = RiffContainers.encodeAvi(w = 320, h = 240, frames = 17,
+      bodyLen = 99, seed = 5)
+    assert(RiffContainers.isAvi(avi))
+    assert(RiffContainers.decodeAvi(avi) == Some((320, 240, 17)))
+    assert(avi.length == 108 + 99 + 1) // odd body → RIFF even-padding
+    val avi2 = RiffContainers.encodeAvi(64, 48, 1, bodyLen = 100, seed = 6)
+    assert(avi2.length == 108 + 100)
+    assert(RiffContainers.decodeAvi(avi2) == Some((64, 48, 1)))
+    // cross-format and garbage rejection
+    assert(RiffContainers.decodeWav(avi) == None)
+    assert(RiffContainers.decodeAvi(wav) == None)
+    assert(RiffContainers.decodeWav("RIFFxxxxWAVE".getBytes) == None)
+    assert(MediaCodec.decode(wav) == Some(("audio", 2, 44100, 100)))
+    assert(MediaCodec.decode(avi) == Some(("video", 320, 240, 17)))
+    // truncated payload (declared chunk overruns buffer) is rejected
+    assert(RiffContainers.decodeWav(
+      java.util.Arrays.copyOf(wav, 60)) == None)
   }
 
   test("ImageHeaders: valid PNG/BMP encode → header parse round trip") {
