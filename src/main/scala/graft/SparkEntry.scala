@@ -617,12 +617,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- extraction-kernel integrity fingerprint (rows-only) -----------
+    // ---- extraction-kernel integrity fingerprint (constant-oracled) -----
     // one order-independent corpus fingerprint over (url, text, status):
-    // byte-stable across partitioning/parallelism, so a kernel regression
-    // is visible in the driver artifacts as a changed fingerprint row —
-    // the extraction family's non-SQL kernels have no DuckDB oracle, and
-    // the in-repo golden fixture alone was invisible to the driver
+    // byte-stable across partitioning/parallelism AND independent of
+    // sfDir (the 500-page corpus is deterministic), so the DuckDB
+    // oracle pins it against checked-in constants — a kernel regression
+    // turns this row red driver-side, not just in the in-repo golden
+    // fixture. fp_sum is emitted as a STRING: the decimal(38,0) sum
+    // degrades to float64 through pandas, a string compares exactly.
     "x_extract_md5" -> ((s, _) => {
       val results = graft.pipeline.ExtractPipeline
         .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
@@ -631,13 +633,20 @@ object SparkEntry {
         count(lit(1)).as("docs"),
         // decimal(38,0) sum: a long sum of 64-bit hashes overflows under
         // ANSI; decimal holds 10^12 rows × 2^63 with 7 digits to spare
-        sum(rowFp.cast("decimal(38,0)")).as("fp_sum"),
+        sum(rowFp.cast("decimal(38,0)")).cast("string").as("fp_sum"),
         bit_xor(rowFp).as("fp_xor"),
         sum(length(col("text")).cast("long")).as("total_chars"),
         sum(when(col("status") =!= "FAILED", 1L).otherwise(0L)).as("docs_ok"))
     }),
 
-    // ---- fintech normalizer over extracted text (rows-only; golden) -----
+    // ---- fintech normalizer over extracted text (constant-oracled) ------
+    // aggregate form of the per-row Normalizer counts over the
+    // deterministic extraction corpus: count totals plus an
+    // order-independent per-row xor hash, pinned by the oracle against
+    // checked-in constants (the per-row outputs stay covered by the
+    // golden fixture; the INPUT text comes from the non-SQL kernel, so
+    // a row-level DuckDB recompute is impossible — this pins schema,
+    // row identity and totals driver-side instead)
     "x_extract_normalized" -> ((s, _) => {
       val results = graft.pipeline.ExtractPipeline
         .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
@@ -646,7 +655,13 @@ object SparkEntry {
         .select(col("url"), col("c.n_sections").as("n_sections"),
           col("c.n_txn_lines").as("n_txn_lines"),
           col("c.n_receipt_items").as("n_receipt_items"))
-        .orderBy(col("url"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(col("n_sections")).cast("long").as("sections_sum"),
+          sum(col("n_txn_lines")).cast("long").as("txn_sum"),
+          sum(col("n_receipt_items")).cast("long").as("receipt_sum"),
+          bit_xor(xxhash64(col("url"), col("n_sections"),
+            col("n_txn_lines"), col("n_receipt_items"))).as("rows_xor"))
     })
   )
 
@@ -1068,6 +1083,27 @@ object SparkEntry {
         "SELECT media_id, kind, " +
         "CAST(unnest(range(0, CAST(n_frames AS BIGINT), 5)) AS BIGINT) AS frame " +
         "FROM m ORDER BY media_id, frame"),
+
+    // checked-in constants for the DETERMINISTIC extraction corpus
+    // (independent of sfDir): the oracle pins corpus size, per-row
+    // fingerprint sum/xor, total chars and non-FAILED count. Any
+    // extraction-kernel change flips fp_sum/fp_xor → red row.
+    // REGENERATE (only with an intentional Model.ExtractorVersion
+    // bump): run `graft.Verify <any sfDir> <out>` and paste the values
+    // from <out>/x_extract_md5 / x_extract_normalized.
+    "x_extract_md5" ->
+      ("SELECT CAST(500 AS BIGINT) AS docs, " +
+        "'-94853241529088161573' AS fp_sum, " +
+        "CAST(-5030084791255098323 AS BIGINT) AS fp_xor, " +
+        "CAST(1617883 AS BIGINT) AS total_chars, " +
+        "CAST(488 AS BIGINT) AS docs_ok"),
+
+    "x_extract_normalized" ->
+      ("SELECT CAST(500 AS BIGINT) AS docs, " +
+        "CAST(488 AS BIGINT) AS sections_sum, " +
+        "CAST(42 AS BIGINT) AS txn_sum, " +
+        "CAST(142 AS BIGINT) AS receipt_sum, " +
+        "CAST(6173421972889955854 AS BIGINT) AS rows_xor"),
 
     "x_normalize_lines" ->
       ("WITH t AS (SELECT doc_id, " +
