@@ -444,6 +444,63 @@ object Bench {
     }
     val (secPeak, docsPeak, bytesPeak) = bestPeak
 
+    // Narrow-output operating point: one timed ExtractPipeline.run per
+    // mode INCLUDING the parquet sink (the agg-only peak above never
+    // writes), so the ~2× output-byte claim of narrow mode carries a
+    // measured number every round.
+    var narrowStats = Map.empty[String, Double]
+    pagesInput.foreach { tables =>
+      val spark2 = session(cpus)
+      try {
+        import spark2.implicits._
+        val pages = spark2.read.parquet(tables.full)
+          .as[graft.model.PageRow]
+        def del(p: String): Unit = {
+          val f = new java.io.File(p)
+          if (f.isDirectory) f.listFiles().foreach(c => del(c.getPath))
+          f.delete()
+        }
+        def dirSize(p: String): Long = {
+          val f = new java.io.File(p)
+          if (f.isFile) f.length()
+          else if (f.isDirectory) f.listFiles().map(c => dirSize(c.getPath)).sum
+          else 0L
+        }
+        def runMode(narrow: Boolean, tag: String,
+            input: org.apache.spark.sql.Dataset[graft.model.PageRow])
+            : (Double, Long) = {
+          val out = s"/dev/shm/graft-bench-sink-$tag"
+          val lin = s"/dev/shm/graft-bench-lin-$tag"
+          del(out); del(lin)
+          val t0 = System.nanoTime()
+          graft.pipeline.ExtractPipeline.run(spark2, input, out, lin,
+            s"bench-$tag", cpus * 4,
+            graft.pipeline.ExtractPipeline.DefaultSalt,
+            narrowOutput = narrow)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val bytes = dirSize(out)
+          del(out); del(lin)
+          (sec, bytes)
+        }
+        // session warm-up on the quarter table (codegen + write path)
+        runMode(narrow = false, "warm",
+          spark2.read.parquet(tables.quarter).as[graft.model.PageRow])
+        // min-of-2 interleaved per mode (steal-burst hygiene, same as
+        // the query suite)
+        val (w1, wBytes) = runMode(narrow = false, "wide", pages)
+        val (n1, nBytes) = runMode(narrow = true, "narrow", pages)
+        val (w2, _) = runMode(narrow = false, "wide", pages)
+        val (n2, _) = runMode(narrow = true, "narrow", pages)
+        val wSec = math.min(w1, w2)
+        val nSec = math.min(n1, n2)
+        narrowStats = Map(
+          "wide_docs_per_sec" -> nPages / wSec,
+          "narrow_docs_per_sec" -> nPages / nSec,
+          "wide_out_mb" -> wBytes / 1e6,
+          "narrow_out_mb" -> nBytes / 1e6)
+      } catch { case _: Throwable => () } finally spark2.stop()
+    }
+
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) 0.0
@@ -475,14 +532,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val dedupJson = dedupRec.toSeq.sorted
       .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val narrowJson = narrowStats.toSeq.sorted
+      .map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"dedup_recall":$dedupJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"machine_mem_ceiling":$memCeil%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"dedup_recall":$dedupJson,"narrow_mode":$narrowJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"machine_mem_ceiling":$memCeil%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
 
     writeBenchBaseline(sfDir, total, results, nPages, nCores, cores4N, cpus,
       rateN, rate4N, ratePeak, gbPeak, efficiency, ceiling, memCeil, recalls,
       round, rateNMed, rate4NMed, efficiencyMed, drops, lshDropCount,
-      dedupRec)
+      dedupRec, narrowStats)
   }
 
   private def writeBenchBaseline(
@@ -493,7 +552,8 @@ object Bench {
       recalls: Map[String, Double],
       rounds: Int, rateNMed: Double, rate4NMed: Double,
       effMed: Double, drops: Long, lshDropCount: Long,
-      dedupRec: Map[String, Double]): Unit = {
+      dedupRec: Map[String, Double],
+      narrowStats: Map[String, Double]): Unit = {
     val md = new StringBuilder
     md ++= "# BENCH — measured throughput (this sandbox)\n\n"
     md ++= "Generated by `graft.Bench` from the same run that produced the "
@@ -516,6 +576,22 @@ object Bench {
     md ++= f"| local[$nCores] (N) | $rateN%.1f | $rateNMed%.1f |\n"
     md ++= f"| local[$cores4N] (4N) | $rate4N%.1f | $rate4NMed%.1f |\n"
     md ++= f"| local[$peakCores] (full box) | $ratePeak%.1f ($gb%.4f GB/s html) | — |\n\n"
+    if (narrowStats.nonEmpty) {
+      val wr = narrowStats.getOrElse("wide_docs_per_sec", 0.0)
+      val nr = narrowStats.getOrElse("narrow_docs_per_sec", 0.0)
+      val wb = narrowStats.getOrElse("wide_out_mb", 0.0)
+      val nb = narrowStats.getOrElse("narrow_out_mb", 0.0)
+      md ++= "### Output modes (full ExtractPipeline.run incl. parquet "
+      md ++= "sink, full box)\n\n"
+      md ++= "| mode | docs/sec | output bytes |\n|---|---|---|\n"
+      md ++= f"| wide (full ExtractResult) | $wr%.1f | $wb%.1f MB |\n"
+      md ++= f"| narrow (url, text, status, bytes_in, bucket) | $nr%.1f | $nb%.1f MB |\n\n"
+      md ++= f"Narrow mode writes ${if (nb > 0) wb / nb else 0.0}%.2f× fewer "
+      md ++= "output bytes (`--narrow true` / `narrowOutput = true`) — "
+      md ++= "the operating point for consumers that don't need the "
+      md ++= "fields/cards/analytics structs. Single timed run per mode "
+      md ++= "(coarse; the sink dominates variance).\n\n"
+    }
     md ++= "Steady-state rates use min-subtraction: each level times the "
     md ++= "job at two input sizes (interleaved best-of minima), rate = "
     md ++= "Δdocs / Δt — the 4N level runs (2n, n) windows so its "
