@@ -251,6 +251,45 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // ---- extraction analytics integrity (constant-oracled) --------------
+    // aggregate fingerprints over the per-row fields/cards outputs of
+    // the deterministic corpus (row counts, analytic sums, per-row xor
+    // hashes) — pins the T9/T20-T23/C3 analytics driver-side the same
+    // way x_extract_md5 pins the text kernel; the per-row variants
+    // (x_extract_fields / x_extract_cards) stay for inspection.
+    // REGENERATE constants only with a Model.ExtractorVersion bump.
+    "x_extract_analytics" -> ((s, _) => {
+      import s.implicits._
+      val results = graft.pipeline.ExtractPipeline
+        .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
+      results.cache()
+      val f = results.select(col("url"), explode(col("fields")).as("f"))
+        .select(col("url"), col("f.name").as("n"), col("f.value").as("v"),
+          col("f.confidence_level").as("c"))
+        .agg(count(lit(1)).as("rows"),
+          bit_xor(xxhash64(col("url"), col("n"), col("v"), col("c")))
+            .as("xor"))
+        .collect()(0)
+      val c = results.filter(col("card_analysis.detected"))
+        .select(col("url"),
+          col("card_analysis.candidate_count").as("cc"),
+          col("card_analysis.luhn_valid_count").as("lv"),
+          when(col("card_analysis.requires_manual_review"), 1L)
+            .otherwise(0L).as("mr"))
+        .agg(count(lit(1)).as("rows"),
+          sum(col("cc")).cast("long").as("cands"),
+          sum(col("lv")).cast("long").as("luhn"),
+          sum(col("mr")).as("reviews"),
+          bit_xor(xxhash64(col("url"), col("cc"), col("lv"), col("mr")))
+            .as("xor"))
+        .collect()(0)
+      results.unpersist()
+      Seq((f.getLong(0), f.getLong(1), c.getLong(0), c.getLong(1),
+        c.getLong(2), c.getLong(3), c.getLong(4)))
+        .toDF("fields_rows", "fields_xor", "card_rows", "card_candidates",
+          "luhn_valid", "manual_reviews", "cards_xor")
+    }),
+
     // ---- graft SQL expression suite ------------------------------------
     "x_sanitize_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1091,6 +1130,15 @@ object SparkEntry {
     // REGENERATE (only with an intentional Model.ExtractorVersion
     // bump): run `graft.Verify <any sfDir> <out>` and paste the values
     // from <out>/x_extract_md5 / x_extract_normalized.
+    "x_extract_analytics" ->
+      ("SELECT CAST(615 AS BIGINT) AS fields_rows, " +
+        "CAST(-1478093850290643984 AS BIGINT) AS fields_xor, " +
+        "CAST(71 AS BIGINT) AS card_rows, " +
+        "CAST(696 AS BIGINT) AS card_candidates, " +
+        "CAST(95 AS BIGINT) AS luhn_valid, " +
+        "CAST(4 AS BIGINT) AS manual_reviews, " +
+        "CAST(79377542121117230 AS BIGINT) AS cards_xor"),
+
     "x_extract_md5" ->
       ("SELECT CAST(500 AS BIGINT) AS docs, " +
         "'-94853241529088161573' AS fp_sum, " +
