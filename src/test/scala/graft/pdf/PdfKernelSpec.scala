@@ -330,6 +330,31 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(PdfParser.extractText(bytes) == expect)
   }
 
+  test("/DP abbreviation and LZW+predictor chains decode") {
+    val columns = 4
+    val content = padTo(
+      "BT /F1 12 Tf 72 720 Td (DP lzw ok) Tj ET", columns)
+    val expect = PdfParser.extractText(pdf(content))
+    val predicted = pngPredict(content.getBytes(UTF_8), columns)
+    val payload = lzwEncode(predicted)
+    val bytes = (s"%PDF-1.4\n1 0 obj << /Length ${payload.length} " +
+      s"/Filter /LZWDecode /DP << /Predictor 15 /Columns $columns >> " +
+      ">>\nstream\n").getBytes(UTF_8) ++ payload ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes(UTF_8)
+    assert(PdfParser.extractText(bytes) == expect)
+    // parms parser forms
+    val single = PdfParser.decodeParmsOf(
+      "<< /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 /Colors 3 >> >>")
+    assert(single(0) == PdfParser.PredictorParms(12, 3, 8, 7))
+    assert(single(1) == PdfParser.PredictorParms(1, 1, 8, 1))
+    val arr = PdfParser.decodeParmsOf(
+      "<< /Filter [ /AHx /Fl ] /DecodeParms [ null << /Predictor 2 /Columns 9 >> ] >>")
+    assert(arr(0) == PdfParser.PredictorParms(1, 1, 8, 1))
+    assert(arr(1) == PdfParser.PredictorParms(2, 1, 8, 9))
+    assert(PdfParser.decodeParmsOf("<< /Length 5 >>")(0) ==
+      PdfParser.PredictorParms(1, 1, 8, 1))
+  }
+
   test("undecodable predictor geometry yields no garbage text") {
     // declared Columns disagrees with the data length → the stream is
     // undecodable (null), never predictor-encoded bytes fed to the
