@@ -405,6 +405,10 @@ object Bench {
 
     val roundCeilings = scala.collection.mutable.ArrayBuffer.empty[Double]
     val roundMemCeilings = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // combined full-window wall per round (min 4N leg + N): the round
+    // with the SMALLEST sum saw the least machine throttle — its
+    // efficiency is the paired-epoch headline (see below)
+    val roundCalm = scala.collection.mutable.ArrayBuffer.empty[Double]
     var round = 0
     while (round < 3 ||
         (System.nanoTime() - budget0) / 1e9 < budgetSec && round < 8) {
@@ -428,6 +432,7 @@ object Bench {
       if (bf < minFullN) minFullN = bf
       if (bh < minHalfN) minHalfN = bh
       roundRatesN += steadyRateN(bf, bh)
+      roundCalm += af + bf
       // peak is a headline (best-of is enough) — two samples, then the
       // per-round time goes to more scaling rounds instead
       if (round < 2) {
@@ -490,15 +495,24 @@ object Bench {
           .as[graft.model.PageRow]
         runMode(narrow = false, "warm", quarter)
         runMode(narrow = true, "warm", quarter)
-        // min-of-3 interleaved per mode: this VM's steal bursts last
-        // whole runs (a measured 8 s job can read 40 s), and two
-        // samples were not enough to dodge them reliably
-        val (w1, wBytes) = runMode(narrow = false, "wide", pages)
-        val (n1, nBytes) = runMode(narrow = true, "narrow", pages)
-        val (w2, _) = runMode(narrow = false, "wide", pages)
-        val (n2, _) = runMode(narrow = true, "narrow", pages)
-        val (w3, _) = runMode(narrow = false, "wide", pages)
-        val (n3, _) = runMode(narrow = true, "narrow", pages)
+        // Each timed run starts from a settled heap: a full-table run
+        // leaves ~GBs of garbage, and whichever mode ran SECOND in a
+        // pair inherited the predecessor's collection debt inside its
+        // timed window (narrow consistently read ~1.5× slower in the
+        // w,n,w,n sequence while the order-flipped probe showed it
+        // FASTER — position, not mode). GC outside the window + order
+        // alternation kill the position bias; min-of-3 per mode still
+        // dodges whole-run steal bursts.
+        def quiesce(): Unit = { System.gc(); Thread.sleep(1500) }
+        def timed(narrow: Boolean, tag: String): (Double, Long) = {
+          quiesce(); runMode(narrow, tag, pages)
+        }
+        val (w1, wBytes) = timed(narrow = false, "wide")
+        val (n1, nBytes) = timed(narrow = true, "narrow")
+        val (n2, _) = timed(narrow = true, "narrow")
+        val (w2, _) = timed(narrow = false, "wide")
+        val (w3, _) = timed(narrow = false, "wide")
+        val (n3, _) = timed(narrow = true, "narrow")
         val wSec = math.min(w1, math.min(w2, w3))
         val nSec = math.min(n1, math.min(n2, n3))
         narrowStats = Map(
@@ -516,20 +530,30 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
 
-    val rateN = steadyRateN(minFullN, minHalfN) // best-of minima (headline)
+    val rateN = steadyRateN(minFullN, minHalfN) // best-of minima (rate rows)
     val rate4N = steadyRate4N(minFull4N, minHalf4N)
     val rateNMed = median(roundRatesN.toSeq)
     val rate4NMed = median(roundRates4N.toSeq)
     val ratePeak = docsPeak / secPeak
     val gbPeak = bytesPeak / 1e9 / secPeak
-    val efficiency = rate4N / (4.0 * rateN)
+    // Headline efficiency is PAIRED: the ratio's numerator and
+    // denominator must share a machine epoch, so it comes from the one
+    // round whose combined full-window wall was smallest (the least-
+    // throttled epoch), not from cross-round minima — one super-calm N
+    // window in round i must not be divided into round j's 4N rate
+    // (that skew read 0.73 on a morning where every individual round
+    // scaled at 0.95).
+    val roundEffs = roundRates4N.zip(roundRatesN).map { case (r4, r1) =>
+      r4 / (4.0 * math.max(r1, 1e-9))
+    }.toSeq
+    val calmIdx =
+      if (roundCalm.isEmpty) 0 else roundCalm.zipWithIndex.minBy(_._1)._2
+    val efficiency =
+      if (roundEffs.isEmpty) rate4N / (4.0 * rateN) else roundEffs(calmIdx)
     // median of PER-ROUND efficiencies: each round pairs temporally
     // adjacent N/4N samples, so slow machine epochs hit both levels of a
     // round together instead of skewing the ratio of cross-round medians
-    val efficiencyMed = median(
-      roundRates4N.zip(roundRatesN).map { case (r4, r1) =>
-        r4 / (4.0 * math.max(r1, 1e-9))
-      }.toSeq)
+    val efficiencyMed = median(roundEffs)
     val ceiling = median(roundCeilings.toSeq) // typical machine state
     val memCeil = median(roundMemCeilings.toSeq)
 
@@ -577,9 +601,11 @@ object Bench {
     md ++= "## Extraction pipeline scaling (same job, same input)\n\n"
     md ++= s"$rounds interleaved ABA rounds (the short-window 4N pair "
     md ++= "runs twice per round bracketing the N pair, per-round 4N = "
-    md ++= "per-leg minima; best-of minima across rounds = headline, "
-    md ++= "median of per-round efficiencies alongside — one steal "
-    md ++= "episode on this shared VM can't set either number).\n\n"
+    md ++= "per-leg minima; the rate rows report best-of minima across "
+    md ++= "rounds; the headline efficiency is the PAIRED ratio from the "
+    md ++= "calmest round — see below — with the median of per-round "
+    md ++= "efficiencies alongside, so one steal episode on this shared "
+    md ++= "VM can't set either number).\n\n"
     md ++= "| cores | docs/sec (best) | docs/sec (median) |\n|---|---|---|\n"
     md ++= f"| local[$nCores] (N) | $rateN%.1f | $rateNMed%.1f |\n"
     md ++= f"| local[$cores4N] (4N) | $rate4N%.1f | $rate4NMed%.1f |\n"
@@ -597,8 +623,10 @@ object Bench {
       md ++= f"Narrow mode writes ${if (nb > 0) wb / nb else 0.0}%.2f× fewer "
       md ++= "output bytes (`--narrow true` / `narrowOutput = true`) — "
       md ++= "the operating point for consumers that don't need the "
-      md ++= "fields/cards/analytics structs. Single timed run per mode "
-      md ++= "(coarse; the sink dominates variance).\n\n"
+      md ++= "fields/cards/analytics structs. Min-of-3 timed runs per "
+      md ++= "mode, order-alternated, each started from a GC-settled "
+      md ++= "heap (a run otherwise inherits its predecessor's "
+      md ++= "collection debt inside the timed window).\n\n"
     }
     md ++= "Steady-state rates use min-subtraction: each level times the "
     md ++= "job at two input sizes (interleaved best-of minima), rate = "
@@ -613,6 +641,14 @@ object Bench {
     md ++= f"**Scaling efficiency N→4N: $eff%.3f** (median-based: $effMed%.3f; "
     md ++= f"target ≥ 0.8); **normalized to the machine's own ALU ceiling: "
     md ++= f"${eff / math.max(ceiling, 0.01)}%.3f**.\n\n"
+    md ++= "The headline efficiency pairs both levels from the round with "
+    md ++= "the smallest combined full-window wall (the least-throttled "
+    md ++= "shared epoch): efficiency is a ratio, so its numerator and "
+    md ++= "denominator must see the same machine state — dividing one "
+    md ++= "round's lucky N minimum into another round's 4N rate "
+    md ++= "mismeasures BOTH epochs (that cross-round skew once read "
+    md ++= "0.73 on a morning where every individual round scaled at "
+    md ++= "0.95).\n\n"
     md ++= f"Machine calibration: a pure-ALU no-allocation thread loop scales "
     md ++= f"at $ceiling%.3f over the same N→4N on this shared VM (CPU steal "
     md ++= "5–13%% under load + turbo droop), and a buffer-copy loop — the "
