@@ -412,20 +412,35 @@ object Bench {
     var round = 0
     while (round < 3 ||
         (System.nanoTime() - budget0) / 1e9 < budgetSec && round < 8) {
-      // ABA within the round: the 4N pair runs TWICE, bracketing the N
-      // pair, and the round's 4N time is the per-leg minimum. The N
-      // windows (~30 s) integrate over this VM's multi-second steal
-      // bursts naturally; the 4N windows (~8 s) do not — a single burst
-      // inside one 4N leg used to set that round's efficiency. Each
-      // level still shares the round's epoch with the other.
+      // ABAB within the round: BOTH levels run their (larger, smaller)
+      // pair twice, interleaved, and the round's times are per-leg
+      // minima. On this VM throttle only ever slows a leg down, so the
+      // minimum is the estimator of the true rate at that level — and
+      // since efficiency divides the levels, an un-bracketed N pair
+      // that catches a burst INFLATES the round's ratio (superlinear
+      // readings), exactly as a burst in an un-bracketed 4N leg used
+      // to deflate it. Each level still shares the round's epoch with
+      // the other.
       val (a1f, a1h) = timeExtractionPair(cores4N, nPages, pagesInput,
         wide = wideOk)
-      val (bf, bh) = timeExtractionPair(nCores, nPages, pagesInput,
+      val (b1f, b1h) = timeExtractionPair(nCores, nPages, pagesInput,
         wide = false)
       val (a2f, a2h) = timeExtractionPair(cores4N, nPages, pagesInput,
         wide = wideOk)
+      val (b2f, b2h) = timeExtractionPair(nCores, nPages, pagesInput,
+        wide = false)
       val af = math.min(a1f, a2f)
       val ah = math.min(a1h, a2h)
+      val bf = math.min(b1f, b2f)
+      val bh = math.min(b1h, b2h)
+      // per-leg walls to stderr: the one view that distinguishes a
+      // steal burst (one leg off) from persistent level asymmetry
+      System.err.println(
+        f"[scaling round $round] 4N legs full=($a1f%.2f,$a2f%.2f) " +
+          f"half=($a1h%.2f,$a2h%.2f)  N legs full=($b1f%.2f,$b2f%.2f) " +
+          f"half=($b1h%.2f,$b2h%.2f)  -> rate4N=${steadyRate4N(af, ah)}%.0f " +
+          f"rateN=${steadyRateN(bf, bh)}%.0f " +
+          f"eff=${steadyRate4N(af, ah) / (4 * steadyRateN(bf, bh))}%.3f")
       if (af < minFull4N) minFull4N = af
       if (ah < minHalf4N) minHalf4N = ah
       roundRates4N += steadyRate4N(af, ah)
@@ -548,8 +563,13 @@ object Bench {
     }.toSeq
     val calmIdx =
       if (roundCalm.isEmpty) 0 else roundCalm.zipWithIndex.minBy(_._1)._2
-    val efficiency =
+    val efficiencyRaw =
       if (roundEffs.isEmpty) rate4N / (4.0 * rateN) else roundEffs(calmIdx)
+    // a reading above 1.0 is unphysical for this kernel (no cache
+    // effect explains superlinear N→4N here) — it means the calm
+    // round's N legs still caught throttle; cap the headline and
+    // carry the raw value alongside rather than publish noise
+    val efficiency = math.min(1.0, efficiencyRaw)
     // median of PER-ROUND efficiencies: each round pairs temporally
     // adjacent N/4N samples, so slow machine epochs hit both levels of a
     // round together instead of skewing the ratio of cross-round medians
@@ -568,10 +588,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"dedup_recall":$dedupJson,"narrow_mode":$narrowJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"machine_mem_ceiling":$memCeil%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"dedup_recall":$dedupJson,"narrow_mode":$narrowJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"efficiency_raw":$efficiencyRaw%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"machine_mem_ceiling":$memCeil%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
 
     writeBenchBaseline(sfDir, total, results, nPages, nCores, cores4N, cpus,
-      rateN, rate4N, ratePeak, gbPeak, efficiency, ceiling, memCeil, recalls,
+      rateN, rate4N, ratePeak, gbPeak, efficiency, efficiencyRaw, ceiling,
+      memCeil, recalls,
       round, rateNMed, rate4NMed, efficiencyMed, drops, lshDropCount,
       dedupRec, narrowStats)
   }
@@ -580,7 +601,7 @@ object Bench {
       sfDir: String, total: Double, results: Seq[(String, Double)],
       nPages: Long, nCores: Int, cores4N: Int, peakCores: Int,
       rateN: Double, rate4N: Double, ratePeak: Double, gb: Double,
-      eff: Double, ceiling: Double, memCeil: Double,
+      eff: Double, effRaw: Double, ceiling: Double, memCeil: Double,
       recalls: Map[String, Double],
       rounds: Int, rateNMed: Double, rate4NMed: Double,
       effMed: Double, drops: Long, lshDropCount: Long,
@@ -599,13 +620,15 @@ object Bench {
     md ++= "never sits inside a timed window) — plus the driver tables at "
     md ++= s"`$sfDir`.\n\n"
     md ++= "## Extraction pipeline scaling (same job, same input)\n\n"
-    md ++= s"$rounds interleaved ABA rounds (the short-window 4N pair "
-    md ++= "runs twice per round bracketing the N pair, per-round 4N = "
-    md ++= "per-leg minima; the rate rows report best-of minima across "
-    md ++= "rounds; the headline efficiency is the PAIRED ratio from the "
-    md ++= "calmest round — see below — with the median of per-round "
-    md ++= "efficiencies alongside, so one steal episode on this shared "
-    md ++= "VM can't set either number).\n\n"
+    md ++= s"$rounds interleaved ABAB rounds (BOTH levels run their "
+    md ++= "timed pair twice per round, interleaved, per-level times = "
+    md ++= "per-leg minima — throttle only slows a leg, so the minimum "
+    md ++= "estimates the true rate, and an un-bracketed leg at either "
+    md ++= "level would bias the round's ratio. The rate rows report "
+    md ++= "best-of minima across rounds; the headline efficiency is "
+    md ++= "the PAIRED ratio from the calmest round — see below — with "
+    md ++= "the median of per-round efficiencies alongside, so one "
+    md ++= "steal episode can't set either number).\n\n"
     md ++= "| cores | docs/sec (best) | docs/sec (median) |\n|---|---|---|\n"
     md ++= f"| local[$nCores] (N) | $rateN%.1f | $rateNMed%.1f |\n"
     md ++= f"| local[$cores4N] (4N) | $rate4N%.1f | $rate4NMed%.1f |\n"
@@ -640,7 +663,13 @@ object Bench {
     md ++= "best-of full-run wall times are what the peak row reports.\n\n"
     md ++= f"**Scaling efficiency N→4N: $eff%.3f** (median-based: $effMed%.3f; "
     md ++= f"target ≥ 0.8); **normalized to the machine's own ALU ceiling: "
-    md ++= f"${eff / math.max(ceiling, 0.01)}%.3f**.\n\n"
+    md ++= f"${eff / math.max(ceiling, 0.01)}%.3f**."
+    if (effRaw > 1.0)
+      md ++= f" The calm round's raw ratio read $effRaw%.3f — superlinear " +
+        "is unphysical for this kernel, so the headline is capped at " +
+        "1.0 (the excess means that round's N legs still caught " +
+        "throttle)."
+    md ++= "\n\n"
     md ++= "The headline efficiency pairs both levels from the round with "
     md ++= "the smallest combined full-window wall (the least-throttled "
     md ++= "shared epoch): efficiency is a ratio, so its numerator and "

@@ -548,11 +548,16 @@ object PdfParser {
   /** Start index of the outermost `<<` of the dict whose closing `>>`
     * immediately precedes position `si` — a backward scan balancing
     * `>>`/`<<` pairs, so nested sub-dicts (/DecodeParms << ... >>)
-    * don't truncate the enclosing stream dict. −1 when absent. */
+    * don't truncate the enclosing stream dict. −1 when absent. The
+    * scan is windowed to 8 KB: real stream dicts are far smaller, and
+    * without the bound a malformed doc repeating `stream` with no
+    * dicts costs O(len) per token — quadratic over the document
+    * (bounded-work contract; the old lastIndexOf had the same hole). */
   private def dictStartBefore(doc: String, si: Int): Int = {
+    val floor = math.max(0, si - 8192)
     var i = si - 1
     var depth = 0
-    while (i > 0) {
+    while (i > floor) {
       val c = doc.charAt(i)
       if (c == '>' && doc.charAt(i - 1) == '>') { depth += 1; i -= 2 }
       else if (c == '<' && doc.charAt(i - 1) == '<') {

@@ -606,6 +606,20 @@ class PdfKernelSpec extends AnyFunSuite {
     assert(PdfParser.extractText(bytes) == "café")
   }
 
+  test("dict-less stream spam stays linear (bounded backscan)") {
+    // a malformed doc repeating `stream` with no dicts used to cost
+    // O(len) of backward scan PER token (quadratic overall); the 8 KB
+    // window keeps it linear. 2 MB / ~60k tokens must finish fast.
+    val sb = new StringBuilder("%PDF-1.4\n")
+    while (sb.length < 2 * 1024 * 1024) sb.append("stream endstream ")
+    val bytes = sb.toString
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val t0 = System.nanoTime()
+    PdfParser.extractText(bytes) // must not throw, must not crawl
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 10.0, f"dict-less stream spam took $sec%.1f s")
+  }
+
   test("garbage never throws") {
     assert(PdfParser.extractText("%PDF-1.4 garbage".getBytes(UTF_8)) == "")
     val r = new java.util.Random(1)
