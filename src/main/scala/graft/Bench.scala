@@ -314,42 +314,7 @@ object Bench {
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_BENCH_MODE", "full")
 
-    // 1) headline query timings at the configured parallelism.
-    //    A full untimed warm-up pass runs first so whole-JVM JIT/codegen
-    //    cost lands there, not on whichever query sorts first (q10 paid
-    //    ~7 s of warm-up in round 1's numbers). The timed measurement is
-    //    the per-query MIN over two passes: residual one-off costs
-    //    (lazy codegen compiles, first broadcast of a dim table, a
-    //    steal episode) kept landing on a different victim each round
-    //    (q2 in r3, q16/q17 in r2) and polluting round-over-round
-    //    comparisons.
-    val spark = session(cpus)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    var results = Seq.empty[(String, Double)]
-    var recalls = Map.empty[String, Double]
-    var dedupRec = Map.empty[String, Double]
-    var drops = -1L
-    var lshDropCount = -1L
-    if (mode != "extract") {
-      ordered.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      }
-      def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-      val p1 = timedPass()
-      val p2 = timedPass()
-      results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-      recalls = annRecalls(spark, sfDir)
-      dedupRec = dedupRecalls(spark, sfDir)
-      drops = ivfDrops(spark, sfDir)
-      lshDropCount = lshDrops(spark, sfDir)
-    }
-    spark.stop()
-
-    // 2) materialize the page table on tmpfs (the timed job READS it —
+    // 1) materialize the page table on tmpfs (the timed job READS it —
     //    north-rule shape; the generator never sits in a timed window),
     //    global JIT warm-up, then N and 4N measurements on the same input
     val nCores = sys.env.get("SPARK_GRAFT_BENCH_NCORES").map(_.toInt)
@@ -369,14 +334,11 @@ object Bench {
       } finally warm.stop()
     }
     // Time-budgeted interleaved best-of: this shared VM throttles in
-    // multi-second episodes (steal spikes); alternating samples + best-of
-    // approximates the unthrottled rate at each level. At least 3 rounds
-    // (so min AND median are both meaningful — one steal episode can't
-    // set the headline), then as many more as fit in the budget.
-    // 420 s fits FOUR ABA rounds on a calm epoch (~130 s each after the
-    // peak/ceiling trims) — with 3 rounds a single throttled round owns
-    // the median; the 4th makes it the mean of the middle two. ≥3
-    // rounds always run regardless (the loop's floor).
+    // episodes lasting seconds to MINUTES; per-leg minima dodge the
+    // short ones, round spreading (see below) decorrelates the long
+    // ones, and best-of/median across rounds summarize. At least 3
+    // rounds always run (the loop's floor); more while the cumulative
+    // in-round time stays under the budget (420 s ≈ 3 ABAB rounds).
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toInt
     var minFull4N = Double.MaxValue
     var minHalf4N = Double.MaxValue
@@ -385,7 +347,6 @@ object Bench {
     val roundRatesN = scala.collection.mutable.ArrayBuffer.empty[Double]
     val roundRates4N = scala.collection.mutable.ArrayBuffer.empty[Double]
     var bestPeak = (Double.MaxValue, 0L, 0L)
-    val budget0 = System.nanoTime()
 
     // per-round steady-state rate by min-subtraction (fixed per-job cost
     // cancels); falls back to the raw larger-run rate if the difference
@@ -410,8 +371,12 @@ object Bench {
     // efficiency is the paired-epoch headline (see below)
     val roundCalm = scala.collection.mutable.ArrayBuffer.empty[Double]
     var round = 0
-    while (round < 3 ||
-        (System.nanoTime() - budget0) / 1e9 < budgetSec && round < 8) {
+    // budget counts time spent INSIDE scaling rounds (the rounds are
+    // spread across the whole run, so a wall-clock budget would charge
+    // the query/sink sections against them)
+    var scalingSpent = 0.0
+    def runScalingRound(): Unit = {
+      val roundT0 = System.nanoTime()
       // ABAB within the round: BOTH levels run their (larger, smaller)
       // pair twice, interleaved, and the round's times are per-leg
       // minima. On this VM throttle only ever slows a leg down, so the
@@ -461,7 +426,53 @@ object Bench {
       roundCeilings += aluCeiling(nCores, cores4N)
       roundMemCeilings += memCeiling(nCores, cores4N)
       round += 1
+      scalingSpent += (System.nanoTime() - roundT0) / 1e9
     }
+
+    // The rounds are SPREAD across the whole bench run (round 0, query
+    // suite, round 1, sink section, remaining rounds): throttle
+    // episodes on this VM last minutes — longer than a round — so a
+    // contiguous block of rounds all lands inside one episode, and the
+    // calmest-round selection has nothing calm to pick. Interleaving
+    // the other bench sections between rounds decorrelates them.
+    runScalingRound()
+
+    // headline query timings at the configured parallelism.
+    // A full untimed warm-up pass runs first so whole-JVM JIT/codegen
+    // cost lands there, not on whichever query sorts first (q10 paid
+    // ~7 s of warm-up in round 1's numbers). The timed measurement is
+    // the per-query MIN over two passes: residual one-off costs
+    // (lazy codegen compiles, first broadcast of a dim table, a
+    // steal episode) kept landing on a different victim each round
+    // (q2 in r3, q16/q17 in r2) and polluting round-over-round
+    // comparisons.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    var results = Seq.empty[(String, Double)]
+    var recalls = Map.empty[String, Double]
+    var dedupRec = Map.empty[String, Double]
+    var drops = -1L
+    var lshDropCount = -1L
+    if (mode != "extract") {
+      val spark = session(cpus)
+      ordered.foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      }
+      def timedPass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      val p1 = timedPass()
+      val p2 = timedPass()
+      results = p1.zip(p2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
+      recalls = annRecalls(spark, sfDir)
+      dedupRec = dedupRecalls(spark, sfDir)
+      drops = ivfDrops(spark, sfDir)
+      lshDropCount = lshDrops(spark, sfDir)
+      spark.stop()
+    }
+
+    runScalingRound()
     val (secPeak, docsPeak, bytesPeak) = bestPeak
 
     // Narrow-output operating point: one timed ExtractPipeline.run per
@@ -537,6 +548,11 @@ object Bench {
           "narrow_out_mb" -> nBytes / 1e6)
       } catch { case _: Throwable => () } finally spark2.stop()
     }
+
+    // remaining rounds: ≥3 total always (min AND median need to be
+    // meaningful), then as many more as fit the scaling-time budget
+    while (round < 3 || scalingSpent < budgetSec && round < 8)
+      runScalingRound()
 
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
