@@ -563,6 +563,51 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame"))
     }),
 
+    // ---- WARC ingest edge (Common-Crawl container) ---------------------
+    // 300 deterministic response records (+1 request per 10) are ENCODED
+    // into real WARC streams (per-record gzip members on even-first
+    // partitions, plain on odd; every 5th body chunked, every 3rd
+    // gzip-content-encoded) and parsed back by graft.sources.Warc; the
+    // DuckDB oracle recomputes record counts and payload byte sums from
+    // the closed-form body lengths — any container/HTTP-decode bug
+    // changes the sums and turns the row red.
+    "x_warc_ingest" -> ((s, _) => {
+      import s.implicits._
+      val parsed = s.range(0, 300, 1, 8).mapPartitions { it =>
+        val idx = it.toArray
+        if (idx.isEmpty) Iterator.empty
+        else {
+          val gzMember = idx(0) % 2 == 0
+          val bos = new java.io.ByteArrayOutputStream()
+          idx.foreach { i =>
+            val url = s"https://synth.example/doc/$i"
+            val ts = java.time.Instant.ofEpochSecond(1500000000L + i)
+            val body = ("x" * (100 + (i % 7).toInt * 13) + i.toString)
+              .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+            if (i % 10 == 0) graft.sources.Warc.Writer.request(
+              bos, url, ts, gzipMember = gzMember)
+            graft.sources.Warc.Writer.response(bos, url, ts, body,
+              chunked = i % 5 == 0, gzipBody = i % 3 == 0,
+              gzipMember = gzMember)
+          }
+          graft.sources.Warc.records(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+        }
+      }
+      val isResp = col("warc_type") === "response"
+      parsed.toDF().agg(
+        count(lit(1)).as("records"),
+        sum(when(isResp, 1L).otherwise(0L)).as("responses"),
+        sum(when(col("warc_type") === "request", 1L).otherwise(0L))
+          .as("requests"),
+        sum(when(isResp, length(col("payload"))).otherwise(0L))
+          .cast("long").as("payload_bytes"),
+        sum(when(isResp, length(col("url"))).otherwise(0L))
+          .cast("long").as("url_chars"),
+        min(when(isResp, length(col("payload")))).cast("long").as("min_len"),
+        max(when(isResp, length(col("payload")))).cast("long").as("max_len"))
+    }),
+
     // ---- learning-pattern store (S8) — oracled over documents ----------
     // pattern rows derived relationally (accuracy = quality proxy as an
     // e6 BIGINT, created_at/pattern_id = doc_id), then the REAL
@@ -1130,6 +1175,24 @@ object SparkEntry {
         "SELECT media_id, kind, " +
         "CAST(unnest(range(0, CAST(n_frames AS BIGINT), 5)) AS BIGINT) AS frame " +
         "FROM m ORDER BY media_id, frame"),
+
+    // WARC ingest: the oracle recomputes the closed-form body lengths
+    // (100 + (i%7)*13 ASCII x's + the decimal id) and record counts the
+    // parser must reproduce through gzip members / chunked / gzip-body
+    // decoding; url = 'https://synth.example/doc/' || i (26 + digits).
+    "x_warc_ingest" ->
+      ("SELECT CAST(330 AS BIGINT) AS records, " +
+        "CAST(300 AS BIGINT) AS responses, " +
+        "CAST(30 AS BIGINT) AS requests, " +
+        "CAST(SUM(100 + (doc_id % 7) * 13 + " +
+        "LENGTH(CAST(doc_id AS VARCHAR))) AS BIGINT) AS payload_bytes, " +
+        "CAST(SUM(26 + LENGTH(CAST(doc_id AS VARCHAR))) AS BIGINT) " +
+        "AS url_chars, " +
+        "CAST(MIN(100 + (doc_id % 7) * 13 + " +
+        "LENGTH(CAST(doc_id AS VARCHAR))) AS BIGINT) AS min_len, " +
+        "CAST(MAX(100 + (doc_id % 7) * 13 + " +
+        "LENGTH(CAST(doc_id AS VARCHAR))) AS BIGINT) AS max_len " +
+        "FROM documents WHERE doc_id < 300"),
 
     // checked-in constants for the DETERMINISTIC extraction corpus
     // (independent of sfDir): the oracle pins corpus size, per-row

@@ -1,0 +1,477 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream, ObjectInputStream, ObjectOutputStream, OutputStream, PushbackInputStream}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.PageRow
+
+/** One parsed WARC record. For `response` records carrying an HTTP
+  * payload, `payload` is the HTTP message BODY (after de-chunking and
+  * Content-Encoding: gzip inflation); for every other record type it is
+  * the raw WARC block. `truncated` marks payloads cut at the byte cap.
+  */
+final case class WarcRecordRow(
+    warc_type: String,
+    url: String,
+    warc_ts: java.sql.Timestamp,
+    record_id: String,
+    content_type: String,
+    http_status: Int,
+    http_content_type: String,
+    payload: Array[Byte],
+    truncated: Boolean
+)
+
+/** Serializable Hadoop `Configuration` carrier (the stock Spark one is
+  * `private[spark]`); `Configuration` itself is a Hadoop `Writable`. */
+final class SerializableHadoopConf(@transient var conf: Configuration)
+    extends Serializable {
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject(); conf.write(out)
+  }
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new Configuration(false)
+    conf.readFields(in)
+  }
+}
+
+/** Streaming WARC (ISO 28500) reader + a minimal writer for tests and
+  * synthetic corpora.
+  *
+  * The Common-Crawl container format: the north-rule input table
+  * (url, warc_ts, html, ...) is exactly what a crawl dump's `response`
+  * records carry, so this is the engine's raw-ingest edge — parse WARC
+  * once at the cluster edge, land the pages table, run every downstream
+  * operator off the columnar table.
+  *
+  * Parser properties (all bounded-work, never throws):
+  *  - streams record-by-record from an InputStream — constant memory in
+  *    file size, at most one `maxPayload` block buffered at a time;
+  *  - accepts plain `.warc` and gzipped `.warc.gz` streams, including
+  *    the standard per-record concatenated gzip members (detected by
+  *    magic bytes, not filename);
+  *  - for `response` records parses the enclosed HTTP message: status
+  *    line, headers, `Transfer-Encoding: chunked` de-chunking and
+  *    `Content-Encoding: gzip` inflation, yielding the original body
+  *    bytes;
+  *  - malformed input resyncs forward to the next `WARC/` version line
+  *    (forward-only, so total work stays O(bytes)); oversized blocks
+  *    are truncated at `maxPayload` and flagged, mirroring the 10 MB
+  *    input cap (reference ocr_config.py:26).
+  *
+  * Scale shape: one task per WARC file — the Common-Crawl unit (~1 GB
+  * gzip each, so 10^5 files at 100 TB: ample parallelism for a
+  * 1000-executor cluster, no shuffle at the ingest edge). Records
+  * stream straight into the extraction pipeline's salted repartition;
+  * per-record gzip members would also allow sub-file splits on a real
+  * cluster, but file granularity already saturates the target scale.
+  */
+object Warc {
+
+  /** Default payload cap per record — the pipeline's 10 MB input cap. */
+  val DefaultMaxPayload: Int = graft.pipeline.Extractor.MaxBytes
+
+  private val MaxHeaderBytes = 64 * 1024
+  private val MaxLineBytes = 8 * 1024
+
+  // ---------------------------------------------------------------- parse
+
+  /** Lazily parse all records from `in` (plain or gzipped — sniffed). */
+  def records(in: InputStream,
+              maxPayload: Int = DefaultMaxPayload): Iterator[WarcRecordRow] = {
+    val pb = new PushbackInputStream(new BufferedInputStream(in, 1 << 16), 2)
+    val b0 = pb.read(); val b1 = pb.read()
+    if (b1 >= 0) pb.unread(b1)
+    if (b0 >= 0) pb.unread(b0)
+    val stream: InputStream =
+      if (b0 == 0x1f && b1 == 0x8b)
+        new BufferedInputStream(new GZIPInputStream(pb, 1 << 16), 1 << 16)
+      else pb
+    recordIterator(stream, maxPayload)
+  }
+
+  private def recordIterator(in: InputStream,
+                             maxPayload: Int): Iterator[WarcRecordRow] =
+    new Iterator[WarcRecordRow] {
+      private var nextRec: WarcRecordRow = null
+      private var done = false
+
+      private def advance(): Unit = {
+        while (nextRec == null && !done) {
+          if (!syncToVersionLine(in)) { done = true; return }
+          nextRec = parseOne(in, maxPayload) // null on malformed → resync
+        }
+      }
+      override def hasNext: Boolean = { advance(); nextRec != null }
+      override def next(): WarcRecordRow = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException("WARC EOF")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  /** Read lines until one starts with "WARC/" (the version line).
+    * Returns false at EOF. Forward-only: total resync work across a
+    * file is O(bytes). */
+  private def syncToVersionLine(in: InputStream): Boolean = {
+    var line = readLine(in)
+    while (line != null) {
+      if (line.startsWith("WARC/")) return true
+      line = readLine(in)
+    }
+    false
+  }
+
+  /** One line, terminator (CRLF or LF) consumed and stripped; null at
+    * EOF before any byte; capped at MaxLineBytes (overflow discarded). */
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(80)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (sb.length < MaxLineBytes) sb.append(c.toChar)
+      c = in.read()
+    }
+    var n = sb.length
+    if (n > 0 && sb.charAt(n - 1) == '\r') n -= 1
+    sb.setLength(n)
+    sb.toString
+  }
+
+  /** Parse one record given that the version line was just consumed.
+    * Returns null on malformed structure (caller resyncs). */
+  private def parseOne(in: InputStream, maxPayload: Int): WarcRecordRow = {
+    // -- WARC named fields until the blank line
+    var warcType = ""; var uri = ""; var date = ""; var id = ""
+    var contentType = ""; var contentLength = -1L
+    var headerBytes = 0
+    var line = readLine(in)
+    while (line != null && line.nonEmpty) {
+      headerBytes += line.length + 2
+      if (headerBytes > MaxHeaderBytes) return null
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val name = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        name match {
+          case "warc-type" => warcType = value
+          case "warc-target-uri" => uri = stripAngles(value)
+          case "warc-date" => date = value
+          case "warc-record-id" => id = stripAngles(value)
+          case "content-type" => contentType = value
+          case "content-length" =>
+            contentLength = try value.toLong catch { case _: Exception => -1L }
+          case _ => ()
+        }
+      }
+      line = readLine(in)
+    }
+    if (line == null || contentLength < 0) return null
+
+    // -- block (truncate at cap, skip the remainder so the stream stays
+    //    positioned at the record boundary)
+    val toRead = math.min(contentLength, maxPayload.toLong).toInt
+    val block = new Array[Byte](toRead)
+    var off = 0
+    while (off < toRead) {
+      val n = in.read(block, off, toRead - off)
+      if (n < 0) return null // truncated file: drop the partial record
+      off += n
+    }
+    var toSkip = contentLength - toRead
+    while (toSkip > 0) {
+      val n = in.skip(toSkip)
+      if (n <= 0) {
+        if (in.read() < 0) return null
+        toSkip -= 1
+      } else toSkip -= n
+    }
+    val truncated = contentLength > toRead
+
+    val ts = parseTs(date)
+    val isHttpResponse = warcType.equalsIgnoreCase("response") &&
+      contentType.toLowerCase.startsWith("application/http")
+    if (!isHttpResponse)
+      return WarcRecordRow(warcType.toLowerCase, uri, ts, id, contentType,
+        -1, "", block, truncated)
+
+    val (status, httpCt, body, bodyTrunc) = parseHttp(block, maxPayload)
+    WarcRecordRow("response", uri, ts, id, contentType, status, httpCt,
+      body, truncated || bodyTrunc)
+  }
+
+  private def stripAngles(s: String): String =
+    if (s.length >= 2 && s.charAt(0) == '<' && s.charAt(s.length - 1) == '>')
+      s.substring(1, s.length - 1)
+    else s
+
+  private def parseTs(iso: String): java.sql.Timestamp =
+    try java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    catch {
+      case _: Exception =>
+        try java.sql.Timestamp.from(
+          java.time.OffsetDateTime.parse(iso).toInstant)
+        catch { case _: Exception => null }
+    }
+
+  /** HTTP response message → (status, content-type, body, truncated).
+    * De-chunks `Transfer-Encoding: chunked` and inflates
+    * `Content-Encoding: gzip` bodies; on any malformation falls back to
+    * the raw remaining bytes (never throws, never loses the payload). */
+  private def parseHttp(block: Array[Byte],
+                        maxPayload: Int): (Int, String, Array[Byte], Boolean) = {
+    val hdrEnd = headerTerminator(block)
+    if (hdrEnd < 0) return (-1, "", block, false)
+    val head = new String(block, 0, hdrEnd, ISO_8859_1)
+    val lines = head.split("\r?\n")
+    var status = -1
+    if (lines.nonEmpty && lines(0).startsWith("HTTP/")) {
+      val parts = lines(0).split(" +", 3)
+      if (parts.length >= 2)
+        status = try parts(1).toInt catch { case _: Exception => -1 }
+    }
+    var chunked = false; var gzipped = false; var httpCt = ""
+    var i = 1
+    while (i < lines.length) {
+      val l = lines(i); val colon = l.indexOf(':')
+      if (colon > 0) {
+        val name = l.substring(0, colon).trim.toLowerCase
+        val value = l.substring(colon + 1).trim
+        name match {
+          case "transfer-encoding" =>
+            chunked = value.toLowerCase.contains("chunked")
+          case "content-encoding" =>
+            val v = value.toLowerCase
+            gzipped = v == "gzip" || v == "x-gzip"
+          case "content-type" => httpCt = value
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    var body = java.util.Arrays.copyOfRange(block, skipBlank(block, hdrEnd),
+      block.length)
+    if (chunked) body = dechunk(body)
+    var trunc = false
+    if (gzipped && body.length >= 2 &&
+        (body(0) & 0xff) == 0x1f && (body(1) & 0xff) == 0x8b) {
+      val (inflated, t) = gunzipCapped(body, maxPayload)
+      if (inflated != null) { body = inflated; trunc = t }
+    }
+    (status, httpCt, body, trunc)
+  }
+
+  /** Index of the first header terminator (CRLFCRLF or LFLF); -1 if none. */
+  private def headerTerminator(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 1 < b.length) {
+      if (b(i) == '\n' &&
+          (b(i + 1) == '\n' || (i + 2 < b.length && b(i + 1) == '\r' &&
+            b(i + 2) == '\n'))) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** First body byte after the terminator starting at `nl`. */
+  private def skipBlank(b: Array[Byte], nl: Int): Int =
+    if (nl + 2 < b.length && b(nl + 1) == '\r') nl + 3 else nl + 2
+
+  /** Decode chunked transfer encoding; on malformed chunk geometry
+    * returns the chunks decoded so far. */
+  private[sources] def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var i = 0
+    var ok = true
+    while (ok && i < b.length) {
+      var j = i
+      while (j < b.length && b(j) != '\n') j += 1
+      if (j >= b.length) { ok = false }
+      else {
+        var lineEnd = j
+        if (lineEnd > i && b(lineEnd - 1) == '\r') lineEnd -= 1
+        val sizeStr = new String(b, i, lineEnd - i, US_ASCII).trim
+        val semi = sizeStr.indexOf(';') // chunk extensions
+        val hex = if (semi >= 0) sizeStr.substring(0, semi) else sizeStr
+        val size = try java.lang.Long.parseLong(hex.trim, 16).toInt
+          catch { case _: Exception => -1 }
+        if (size < 0 || j + 1 + size > b.length) ok = false
+        else if (size == 0) { i = b.length } // trailers ignored
+        else {
+          out.write(b, j + 1, size)
+          i = j + 1 + size
+          // consume the CRLF after the chunk data
+          if (i < b.length && b(i) == '\r') i += 1
+          if (i < b.length && b(i) == '\n') i += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Inflate a gzip body, capped; (null, _) if the stream is corrupt. */
+  private def gunzipCapped(b: Array[Byte],
+                           cap: Int): (Array[Byte], Boolean) =
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(b), 1 << 14)
+      val out = new ByteArrayOutputStream(math.min(b.length * 3, cap))
+      val buf = new Array[Byte](8192)
+      var total = 0
+      var truncated = false
+      var n = in.read(buf)
+      while (n > 0 && !truncated) {
+        val take = math.min(n, cap - total)
+        out.write(buf, 0, take)
+        total += take
+        if (total >= cap && (n > take || in.read() >= 0)) truncated = true
+        else n = in.read(buf)
+      }
+      (out.toByteArray, truncated)
+    } catch { case _: Exception => (null, false) }
+
+  // ---------------------------------------------------------------- spark
+
+  /** All records of every WARC file matching `glob`, one task per file. */
+  def warcRecords(spark: SparkSession, glob: String,
+                  maxPayload: Int = DefaultMaxPayload): Dataset[WarcRecordRow] = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val paths = listFiles(spark, glob)
+    // One partition per WARC file — the Common-Crawl parallelism unit
+    // (parallelize is the one API with exact partition control; the
+    // per-partition work is a genuine imperative stream parse).
+    val rdd = spark.sparkContext.parallelize(paths, math.max(1, paths.length))
+    spark.createDataset(rdd).mapPartitions { it =>
+      it.flatMap { p =>
+        val path = new Path(p)
+        val fs = path.getFileSystem(conf.conf)
+        records(fs.open(path), maxPayload)
+      }
+    }
+  }
+
+  /** `response` records as the canonical pages-table rows:
+    * (url, warc_ts, html, text="", lang="") — feed straight into
+    * `ExtractPipeline.extract` / land as the Iceberg pages table. */
+  def warcFiles(spark: SparkSession, glob: String,
+                maxPayload: Int = DefaultMaxPayload): Dataset[PageRow] = {
+    import spark.implicits._
+    warcRecords(spark, glob, maxPayload)
+      .filter(r => r.warc_type == "response" && r.url.nonEmpty)
+      .map(r => PageRow(r.url, r.warc_ts, r.payload, "", ""))
+  }
+
+  /** Record-level stats frame (no payload bytes — safe to collect). */
+  def warcStats(spark: SparkSession, glob: String,
+                maxPayload: Int = DefaultMaxPayload): DataFrame =
+    warcRecords(spark, glob, maxPayload)
+      .select(col("warc_type"), col("url"), col("http_status"),
+        col("http_content_type"),
+        length(col("payload")).as("payload_bytes"), col("truncated"))
+
+  private def listFiles(spark: SparkSession, glob: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(glob)
+    val fs = p.getFileSystem(conf)
+    val matched: Array[FileStatus] = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }
+    files.map(_.getPath.toString).sorted.toSeq
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Minimal WARC writer (tests + synthetic corpora). Each call appends
+    * one record; `gzipMember = true` wraps the record in its own gzip
+    * member (the Common-Crawl on-disk layout). */
+  object Writer {
+
+    private val Iso = java.time.format.DateTimeFormatter.ISO_INSTANT
+
+    def response(out: OutputStream, url: String, ts: java.time.Instant,
+                 body: Array[Byte], status: Int = 200,
+                 httpContentType: String = "text/html",
+                 chunked: Boolean = false, gzipBody: Boolean = false,
+                 gzipMember: Boolean = false): Unit = {
+      var payload = body
+      var extra = ""
+      if (gzipBody) {
+        val bos = new ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(bos)
+        gz.write(body); gz.finish()
+        payload = bos.toByteArray
+        extra += "Content-Encoding: gzip\r\n"
+      }
+      if (chunked) {
+        payload = chunk(payload)
+        extra += "Transfer-Encoding: chunked\r\n"
+      } else {
+        extra += s"Content-Length: ${payload.length}\r\n"
+      }
+      val httpHead =
+        (s"HTTP/1.1 $status OK\r\nContent-Type: $httpContentType\r\n" +
+          extra + "\r\n").getBytes(ISO_8859_1)
+      val block = new Array[Byte](httpHead.length + payload.length)
+      System.arraycopy(httpHead, 0, block, 0, httpHead.length)
+      System.arraycopy(payload, 0, block, httpHead.length, payload.length)
+      record(out, "response", url, ts, "application/http; msgtype=response",
+        block, gzipMember)
+    }
+
+    def request(out: OutputStream, url: String, ts: java.time.Instant,
+                gzipMember: Boolean = false): Unit = {
+      val block = (s"GET $url HTTP/1.1\r\nHost: x\r\n\r\n").getBytes(ISO_8859_1)
+      record(out, "request", url, ts, "application/http; msgtype=request",
+        block, gzipMember)
+    }
+
+    def warcinfo(out: OutputStream, ts: java.time.Instant,
+                 gzipMember: Boolean = false): Unit =
+      record(out, "warcinfo", "", ts, "application/warc-fields",
+        "software: graft-synth\r\n".getBytes(ISO_8859_1), gzipMember)
+
+    def record(out: OutputStream, warcType: String, url: String,
+               ts: java.time.Instant, contentType: String,
+               block: Array[Byte], gzipMember: Boolean): Unit = {
+      val target: OutputStream =
+        if (gzipMember) new GZIPOutputStream(out) else out
+      val uriLine = if (url.nonEmpty) s"WARC-Target-URI: $url\r\n" else ""
+      val head =
+        (s"WARC/1.0\r\nWARC-Type: $warcType\r\n" + uriLine +
+          s"WARC-Date: ${Iso.format(ts)}\r\n" +
+          s"WARC-Record-ID: <urn:graft:${warcType}:${url.hashCode}>\r\n" +
+          s"Content-Type: $contentType\r\n" +
+          s"Content-Length: ${block.length}\r\n\r\n").getBytes(ISO_8859_1)
+      target.write(head)
+      target.write(block)
+      target.write("\r\n\r\n".getBytes(ISO_8859_1))
+      target match {
+        case gz: GZIPOutputStream => gz.finish()
+        case _ => ()
+      }
+    }
+
+    private def chunk(body: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream(body.length + 64)
+      var i = 0
+      while (i < body.length) {
+        val n = math.min(1024, body.length - i)
+        out.write(s"${n.toHexString}\r\n".getBytes(US_ASCII))
+        out.write(body, i, n)
+        out.write("\r\n".getBytes(US_ASCII))
+        i += n
+      }
+      out.write("0\r\n\r\n".getBytes(US_ASCII))
+      out.toByteArray
+    }
+  }
+}

@@ -1,0 +1,177 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Instant
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.ExtractPipeline
+
+/** WARC reader/writer: container round-trips, HTTP decodings, malformed
+  * resync, caps, and end-to-end byte-identity through the extraction
+  * pipeline. */
+class WarcSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-warc-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(i: Int): Instant = Instant.ofEpochSecond(1500000000L + i)
+
+  private def parseAll(bytes: Array[Byte]): List[WarcRecordRow] =
+    Warc.records(new ByteArrayInputStream(bytes)).toList
+
+  test("plain single response record round-trips") {
+    val bos = new ByteArrayOutputStream()
+    val body = "<html><body>hello warc</body></html>".getBytes(UTF_8)
+    Warc.Writer.response(bos, "http://a.test/x", ts(1), body)
+    val rs = parseAll(bos.toByteArray)
+    assert(rs.length == 1)
+    val r = rs.head
+    assert(r.warc_type == "response")
+    assert(r.url == "http://a.test/x")
+    assert(r.http_status == 200)
+    assert(r.http_content_type == "text/html")
+    assert(java.util.Arrays.equals(r.payload, body))
+    assert(r.warc_ts.toInstant == ts(1))
+    assert(!r.truncated)
+  }
+
+  test("chunked and gzip-encoded bodies decode to the original bytes") {
+    val body = ("abc" * 2000 + "tail").getBytes(UTF_8) // crosses chunk size
+    for ((ch, gz) <- Seq((true, false), (false, true), (true, true))) {
+      val bos = new ByteArrayOutputStream()
+      Warc.Writer.response(bos, "http://a.test/c", ts(2), body,
+        chunked = ch, gzipBody = gz)
+      val r = parseAll(bos.toByteArray).head
+      assert(java.util.Arrays.equals(r.payload, body), s"chunked=$ch gzip=$gz")
+    }
+  }
+
+  test("per-record gzip members (Common-Crawl layout) parse as a stream") {
+    val bos = new ByteArrayOutputStream()
+    Warc.Writer.warcinfo(bos, ts(0), gzipMember = true)
+    for (i <- 0 until 5)
+      Warc.Writer.response(bos, s"http://a.test/$i", ts(i),
+        s"<p>doc $i</p>".getBytes(UTF_8), gzipMember = true)
+    val rs = parseAll(bos.toByteArray)
+    assert(rs.map(_.warc_type) == "warcinfo" :: List.fill(5)("response"))
+    assert(rs.last.url == "http://a.test/4")
+    assert(new String(rs.last.payload, UTF_8) == "<p>doc 4</p>")
+  }
+
+  test("malformed garbage between records resyncs; partial tail dropped") {
+    val bos = new ByteArrayOutputStream()
+    Warc.Writer.response(bos, "http://a.test/1", ts(1), "one".getBytes(UTF_8))
+    bos.write("GARBAGE bytes that are not a record\r\nmore junk\r\n"
+      .getBytes(UTF_8))
+    Warc.Writer.response(bos, "http://a.test/2", ts(2), "two".getBytes(UTF_8))
+    // truncated record at EOF: header promises more bytes than present
+    bos.write(("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Type: application/http\r\nContent-Length: 99999\r\n\r\nshort")
+      .getBytes(UTF_8))
+    val rs = parseAll(bos.toByteArray)
+    assert(rs.map(_.url) == List("http://a.test/1", "http://a.test/2"))
+  }
+
+  test("missing Content-Length is skipped, following record survives") {
+    val bos = new ByteArrayOutputStream()
+    bos.write("WARC/1.0\r\nWARC-Type: metadata\r\n\r\n".getBytes(UTF_8))
+    Warc.Writer.response(bos, "http://a.test/ok", ts(3), "ok".getBytes(UTF_8))
+    val rs = parseAll(bos.toByteArray)
+    assert(rs.map(_.url) == List("http://a.test/ok"))
+  }
+
+  test("LF-only header lines are tolerated") {
+    val body = "lf body"
+    val rec = "WARC/1.0\nWARC-Type: response\n" +
+      "WARC-Target-URI: http://lf.test/\n" +
+      "WARC-Date: 2017-03-06T04:03:53Z\n" +
+      "Content-Type: application/http; msgtype=response\n" +
+      s"Content-Length: ${("HTTP/1.1 200 OK\n\n" + body).length}\n\n" +
+      "HTTP/1.1 200 OK\n\n" + body
+    val rs = parseAll(rec.getBytes(UTF_8))
+    assert(rs.length == 1)
+    assert(rs.head.url == "http://lf.test/")
+    assert(new String(rs.head.payload, UTF_8) == body)
+  }
+
+  test("oversized block truncates at the cap and flags it") {
+    val bos = new ByteArrayOutputStream()
+    Warc.Writer.response(bos, "http://big.test/", ts(4),
+      ("x" * 5000).getBytes(UTF_8))
+    Warc.Writer.response(bos, "http://after.test/", ts(5),
+      "after".getBytes(UTF_8))
+    val rs = Warc.records(new ByteArrayInputStream(bos.toByteArray),
+      maxPayload = 1024).toList
+    assert(rs.length == 2)
+    assert(rs.head.truncated)
+    assert(rs.head.payload.length <= 1024)
+    assert(rs(1).url == "http://after.test/" && !rs(1).truncated)
+  }
+
+  test("warcFiles: synth corpus → .warc.gz → byte-identical extraction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc").toFile
+    dir.deleteOnExit()
+    val pages = ExtractPipeline.pages(spark, 120, 4).collect().sortBy(_.url)
+    // 3 files, per-record gzip members, with request/warcinfo noise
+    pages.grouped(40).zipWithIndex.foreach { case (group, gi) =>
+      val f = new java.io.File(dir, f"synth-$gi%02d.warc.gz")
+      val out = new FileOutputStream(f)
+      Warc.Writer.warcinfo(out, ts(0), gzipMember = true)
+      group.foreach { p =>
+        Warc.Writer.request(out, p.url, p.warc_ts.toInstant, gzipMember = true)
+        Warc.Writer.response(out, p.url, p.warc_ts.toInstant, p.html,
+          chunked = p.url.hashCode % 3 == 0,
+          gzipBody = p.url.hashCode % 2 == 0, gzipMember = true)
+      }
+      out.close()
+    }
+    val back = Warc.warcFiles(spark, dir.getAbsolutePath + "/*.warc.gz")
+    val byUrl = back.collect().map(r => r.url -> r).toMap
+    assert(byUrl.size == pages.length)
+    pages.foreach { p =>
+      assert(java.util.Arrays.equals(byUrl(p.url).html, p.html), p.url)
+      assert(byUrl(p.url).warc_ts.toInstant == p.warc_ts.toInstant)
+    }
+    // end-to-end: extraction over the WARC-read table matches extraction
+    // over the original pages byte-for-byte
+    val direct = ExtractPipeline.extract(
+        spark.createDataset(pages.toIndexedSeq), 8)
+      .collect().map(r => r.url -> r.text).toMap
+    val viaWarc = ExtractPipeline.extract(back, 8)
+      .collect().map(r => r.url -> r.text).toMap
+    assert(viaWarc == direct)
+    // one task per file
+    assert(Warc.warcRecords(spark, dir.getAbsolutePath + "/*.warc.gz")
+      .rdd.getNumPartitions == 3)
+  }
+
+  test("warcStats surfaces types and byte counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc2").toFile
+    dir.deleteOnExit()
+    val f = new java.io.File(dir, "s.warc")
+    val out = new FileOutputStream(f)
+    Warc.Writer.warcinfo(out, ts(0))
+    Warc.Writer.response(out, "http://a.test/s", ts(1), "12345".getBytes(UTF_8))
+    out.close()
+    val stats = Warc.warcStats(spark, f.getAbsolutePath).collect()
+    assert(stats.length == 2)
+    val resp = stats.find(_.getString(0) == "response").get
+    assert(resp.getInt(4) == 5)
+  }
+
+  test("dechunk handles extensions and malformed sizes") {
+    val chunked = "5;ext=1\r\nhello\r\n3\r\n wo\r\n0\r\n\r\n".getBytes(UTF_8)
+    assert(new String(Warc.dechunk(chunked), UTF_8) == "hello wo")
+    val bad = "ZZ\r\nhello\r\n".getBytes(UTF_8)
+    assert(Warc.dechunk(bad).length == 0) // malformed → decoded prefix
+  }
+}
