@@ -8,7 +8,7 @@ import graft.sources.Sources
   * (SURVEY §7.1 jobs/):
   *
   *   spark-submit --class graft.jobs.ExtractJob app.jar \
-  *     --input <pages parquet | synth:N> --output <dir> \
+  *     --input <pages parquet | warc:<glob> | synth:N> --output <dir> \
   *     --lineage <dir> --run-id <id> [--buckets B]
   *
   * Resumable: rerunning with the same run-id skips committed buckets
@@ -27,7 +27,7 @@ object ExtractJob {
     if (args.length % 2 != 0 || args.grouped(2).exists(p =>
         !p(0).startsWith("--") || !KnownOpts.contains(p(0).drop(2)))) {
       System.err.println(
-        "usage: ExtractJob --input <parquet|synth:N> --output <dir> " +
+        "usage: ExtractJob --input <parquet|warc:glob|synth:N> --output <dir> " +
           "--lineage <dir> --run-id <id> [--buckets B] [--narrow true]")
       sys.exit(2)
     }
@@ -65,6 +65,10 @@ object ExtractJob {
       if (input.startsWith("synth:")) {
         val n = input.stripPrefix("synth:").toLong
         ExtractPipeline.pages(spark, n, buckets)
+      } else if (input.startsWith("warc:")) {
+        // raw crawl ingest: parse WARC files (plain or .warc.gz) at the
+        // cluster edge, one task per file — the Common-Crawl layout
+        graft.sources.Warc.warcFiles(spark, input.stripPrefix("warc:"))
       } else Sources.pagesTable(spark, input)
 
     // --narrow true: write only (url, text, status, bytes_in, bucket) —
@@ -78,7 +82,7 @@ object ExtractJob {
       case Some(other) =>
         System.err.println(
           s"--narrow must be true or false (got '$other'); " +
-            "usage: ExtractJob --input <parquet|synth:N> --output <dir> " +
+            "usage: ExtractJob --input <parquet|warc:glob|synth:N> --output <dir> " +
             "--lineage <dir> --run-id <id> [--buckets B] [--narrow true]")
         sys.exit(2)
     }
