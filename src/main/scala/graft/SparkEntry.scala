@@ -754,6 +754,43 @@ object SparkEntry {
           sum(col("n_receipt_items")).cast("long").as("receipt_sum"),
           bit_xor(xxhash64(col("url"), col("n_sections"),
             col("n_txn_lines"), col("n_receipt_items"))).as("rows_xor"))
+    }),
+
+    // ---- streaming/batch parity (S7, constant-oracled) -----------------
+    // The Structured-Streaming pipeline (file source → watermark dedup →
+    // the same per-row kernel → AvailableNow parquet sink, checkpointed)
+    // must produce byte-identical text to the batch pipeline on the
+    // deterministic 500-page corpus. The aggregate is the SAME
+    // fingerprint as x_extract_md5 and the oracle pins the SAME
+    // constants — a kernel regression OR a streaming-plumbing bug (lost
+    // rows, double-processing, dedup eating live rows) turns this row
+    // red driver-side. Evaluated eagerly so the temp corpus/checkpoint
+    // dirs can be deleted before returning.
+    "x_stream_extract" -> ((s, _) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_")
+      val inDir = s"$base/pages"
+      graft.pipeline.ExtractPipeline.pages(s, 500, 8)
+        .write.parquet(inDir)
+      val results = graft.streaming.StreamingExtract.extract(
+        graft.streaming.StreamingExtract.readPages(s, inDir))
+      graft.streaming.StreamingExtract
+        .writer(results, s"$base/out", s"$base/ck")
+        .start().awaitTermination()
+      val rowFp = xxhash64(col("url"), md5(col("text")), col("status"))
+      val r = s.read.parquet(s"$base/out").agg(
+        count(lit(1)).as("docs"),
+        sum(rowFp.cast("decimal(38,0)")).cast("string").as("fp_sum"),
+        bit_xor(rowFp).as("fp_xor"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(when(col("status") =!= "FAILED", 1L).otherwise(0L)).as("docs_ok")
+      ).as[(Long, String, Long, Long, Long)].head()
+      // the streaming job is done and the row is materialized — drop the
+      // temp corpus, output and checkpoint before handing the result back
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      Seq(r).toDF("docs", "fp_sum", "fp_xor", "total_chars", "docs_ok")
     })
   )
 
@@ -1223,6 +1260,15 @@ object SparkEntry {
         "CAST(42 AS BIGINT) AS txn_sum, " +
         "CAST(142 AS BIGINT) AS receipt_sum, " +
         "CAST(6173421972889955854 AS BIGINT) AS rows_xor"),
+
+    // streaming/batch parity: the streaming pipeline over the same
+    // 500-page corpus must reproduce x_extract_md5's constants exactly
+    "x_stream_extract" ->
+      ("SELECT CAST(500 AS BIGINT) AS docs, " +
+        "'-94853241529088161573' AS fp_sum, " +
+        "CAST(-5030084791255098323 AS BIGINT) AS fp_xor, " +
+        "CAST(1617883 AS BIGINT) AS total_chars, " +
+        "CAST(488 AS BIGINT) AS docs_ok"),
 
     "x_normalize_lines" ->
       ("WITH t AS (SELECT doc_id, " +

@@ -255,4 +255,39 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_sorted_overlap",
       exprs => GraftSortedOverlap(exprs.head, exprs(1)), "scala_udf")
   }
+
+  /** All (name, builder) pairs — single source for both registration
+    * paths (temp functions above, session extensions below). */
+  private[sql] val builders
+      : Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_sanitize" -> (exprs => GraftSanitize(exprs.head)),
+    "graft_luhn_valid" -> (exprs => GraftLuhnValid(exprs.head)),
+    "graft_confidence" -> (exprs => GraftConfidence(exprs.head)),
+    "graft_simhash" -> (exprs => GraftSimHash(exprs.head)),
+    "graft_fingerprint" -> (exprs => GraftFingerprint(exprs.head)),
+    "graft_cosine" -> (exprs => GraftCosine(exprs.head, exprs(1))),
+    "graft_sorted_overlap" ->
+      (exprs => GraftSortedOverlap(exprs.head, exprs(1))))
+}
+
+/** Session-extensions entry point: makes the whole expression suite
+  * available to every session — including pure-SQL clients that never
+  * touch the Scala API — via
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.sql.GraftExtensions
+  *
+  * (the production analog of `GraftFunctions.register`, which remains
+  * for ad-hoc per-session use). Functions injected here resolve at
+  * plan time to the native codegen expressions above, so SQL callers
+  * get the same whole-stage-codegen plans as the Column API. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.sql.GraftExpressions", name),
+        builder))
+    }
 }
