@@ -1,0 +1,71 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import graft.streaming.StreamingExtract
+
+/** spark-submit entry point for the INCREMENTAL extraction run — the
+  * streaming-shaped analog of ExtractJob (reference queue worker, S7):
+  *
+  *   spark-submit --class graft.jobs.StreamJob app.jar \
+  *     --input <pages parquet dir> --output <dir> --checkpoint <dir> \
+  *     [--watermark "10 minutes"]
+  *
+  * `Trigger.AvailableNow` drains the current backlog and stops, so a
+  * scheduled rerun is an incremental batch: the checkpoint remembers
+  * which input files were processed (exactly-once file-source progress
+  * — the streaming counterpart of ExtractJob's lineage-table resume),
+  * and `dropDuplicates(url, warc_ts)` under the watermark suppresses
+  * re-crawled duplicates within the lateness window. New files landing
+  * in --input between runs are picked up next run; nothing is
+  * reprocessed.
+  */
+object StreamJob {
+
+  private val KnownOpts = Set("input", "output", "checkpoint", "watermark")
+
+  private val Usage =
+    "usage: StreamJob --input <pages parquet dir> --output <dir> " +
+      "--checkpoint <dir> [--watermark '10 minutes']"
+
+  def main(args: Array[String]): Unit = {
+    // strict parsing, same contract as ExtractJob: an unknown flag must
+    // not silently fall back (it would drain into the wrong sink)
+    if (args.length % 2 != 0 || args.grouped(2).exists(p =>
+        !p(0).startsWith("--") || !KnownOpts.contains(p(0).drop(2)))) {
+      System.err.println(Usage)
+      sys.exit(2)
+    }
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val input = opts.get("input")
+    val output = opts.get("output")
+    val checkpoint = opts.get("checkpoint")
+    if (input.isEmpty || output.isEmpty || checkpoint.isEmpty) {
+      System.err.println(Usage)
+      sys.exit(2)
+    }
+    val watermark = opts.getOrElse("watermark", "10 minutes")
+
+    val builder = SparkSession.builder()
+      .appName("graft-stream-extract")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark =
+      (if (sys.props.contains("spark.master")) builder
+       else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val results = StreamingExtract.extract(
+      StreamingExtract.readPages(spark, input.get), watermark)
+    val query = StreamingExtract
+      .writer(results, output.get, checkpoint.get)
+      .start()
+    query.awaitTermination()
+
+    val docsOut = spark.read.parquet(output.get).count()
+    // one summary line for the orchestrator (cumulative across runs —
+    // the sink is append-mode)
+    println(s"""{"docs_out_total":$docsOut,"output":"${output.get}"}""")
+    spark.stop()
+  }
+}

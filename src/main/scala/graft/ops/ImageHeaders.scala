@@ -156,6 +156,90 @@ object ImageHeaders {
     }
     bb.array()
   }
+
+  /** JPEG magic: SOI marker followed by another marker byte. */
+  def isJpeg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (b(0) & 0xff) == 0xff &&
+      (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+
+  /** Segment walk to the first SOF0–SOF3 frame header:
+    * (width, height, precision). Unknown markers are skipped by their
+    * declared length; a torn segment or SOS-before-SOF returns None. */
+  def decodeJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!isJpeg(b)) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None // lost marker sync
+      val m = b(i + 1) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return None
+        if (m >= 0xc0 && m <= 0xc3) { // SOF0..SOF3
+          if (len < 9) return None
+          val prec = b(i + 4) & 0xff
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return if (w > 0 && h > 0) Some((w, h, prec)) else None
+        }
+        if (m == 0xda) return None // scan started, no frame header seen
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Minimal VALID baseline JFIF: APP0 + DQT + grayscale SOF0 + one DC
+    * Huffman table + SOS + seeded entropy filler (0xff excluded — no
+    * byte-stuffing needed) + EOI. Byte length is exactly
+    * 137 + (w·h)/4 (integer division). */
+  def encodeJpeg(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val entropy = w * h / 4 + 1
+    val bb = java.nio.ByteBuffer.allocate(136 + entropy)
+    def marker(m: Int): Unit = { bb.put(0xff.toByte).put(m.toByte) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF
+    bb.putShort(16)
+    bb.put("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put(0.toByte)
+    bb.put(1.toByte).put(1.toByte) // version 1.1
+    bb.put(0.toByte)               // units: aspect only
+    bb.putShort(1).putShort(1)     // density 1x1
+    bb.put(0.toByte).put(0.toByte) // no thumbnail
+    marker(0xdb) // DQT
+    bb.putShort(67)
+    bb.put(0.toByte) // 8-bit precision, table 0
+    var i = 0
+    while (i < 64) { bb.put(16.toByte); i += 1 } // flat table
+    marker(0xc0) // SOF0: 8-bit grayscale
+    bb.putShort(11)
+    bb.put(8.toByte)
+    bb.putShort(h.toShort).putShort(w.toShort)
+    bb.put(1.toByte) // one component
+    bb.put(1.toByte).put(0x11.toByte).put(0.toByte)
+    marker(0xc4) // DHT: DC table 0, single zero-length code
+    bb.putShort(20)
+    bb.put(0.toByte) // class 0 (DC), id 0
+    bb.put(1.toByte)
+    i = 0
+    while (i < 15) { bb.put(0.toByte); i += 1 }
+    bb.put(0.toByte) // the one symbol: category 0
+    marker(0xda) // SOS
+    bb.putShort(8)
+    bb.put(1.toByte)
+    bb.put(1.toByte).put(0.toByte) // component 1, DC 0 / AC 0
+    bb.put(0.toByte).put(63.toByte).put(0.toByte)
+    var x = seed | 1L
+    i = 0
+    while (i < entropy) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      val v = ((x >>> 56) & 0xff).toInt
+      bb.put((if (v == 0xff) 0xfe else v).toByte)
+      i += 1
+    }
+    marker(0xd9) // EOI
+    bb.array()
+  }
 }
 
 /** Pure-Scala RIFF container codecs for audio/video media rows — real

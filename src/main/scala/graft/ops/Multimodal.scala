@@ -44,8 +44,9 @@ object Multimodal {
   val FeatureDim = 16
 
   /** Deterministic synthetic media table — real files for every kind:
-    * PNG for media_id % 6 == 0, BMP for % 6 == 3, WAV for % 3 == 1,
-    * AVI for % 3 == 2. Metadata (and byte lengths) are arithmetic over
+    * PNG for media_id % 9 == 0, BMP for % 9 == 3, JPEG for % 9 == 6,
+    * WAV for % 3 == 1, AVI for % 3 == 2. Metadata (and byte lengths)
+    * are arithmetic over
     * media_id, so the DuckDB oracle independently verifies the
     * encode→decode round trip against the REAL header parses; payload
     * body/pixel/sample bytes are seeded-deterministic. */
@@ -60,9 +61,11 @@ object Multimodal {
         case "image" =>
           val w = (16 + (i * 7919L) % 64).toInt
           val h = (16 + (i * 104729L) % 64).toInt
-          val payload =
-            if (i % 6 == 0L) ImageHeaders.encodePng(w, h, seed = 0xface + i)
-            else ImageHeaders.encodeBmp(w, h, seed = 0xface + i)
+          val payload = (i % 9) match {
+            case 0L => ImageHeaders.encodePng(w, h, seed = 0xface + i)
+            case 3L => ImageHeaders.encodeBmp(w, h, seed = 0xface + i)
+            case _ => ImageHeaders.encodeJpeg(w, h, seed = 0xface + i)
+          }
           MediaRow(i, kind, payload, w, h)
         case "audio" =>
           val channels = (1 + i % 2).toInt
@@ -119,8 +122,8 @@ object Multimodal {
   }
 }
 
-/** Container dispatch over the real codecs: PNG/BMP → image, WAV →
-  * audio, AVI → video — each parsed from its actual header bytes (no
+/** Container dispatch over the real codecs: PNG/BMP/JPEG → image,
+  * WAV → audio, AVI → video — each parsed from its actual header bytes (no
   * synthetic formats). A real deployment extends this dispatch with
   * JNI/codec calls for pixel/sample DATA; the container metadata path
   * and all Spark plumbing are already the production shape. */
@@ -134,6 +137,9 @@ object MediaCodec {
       return Some(("image", w, h, 1))
     }
     ImageHeaders.decodeBmp(payload).foreach { case (w, h, _) =>
+      return Some(("image", w, h, 1))
+    }
+    ImageHeaders.decodeJpeg(payload).foreach { case (w, h, _) =>
       return Some(("image", w, h, 1))
     }
     RiffContainers.decodeWav(payload).foreach { case (ch, rate, frames) =>

@@ -92,7 +92,9 @@ object Warc {
     if (b0 >= 0) pb.unread(b0)
     val stream: InputStream =
       if (b0 == 0x1f && b1 == 0x8b)
-        new BufferedInputStream(new GZIPInputStream(pb, 1 << 16), 1 << 16)
+        // member-resync reader: a corrupt gzip member (bit rot in a ~1 GB
+        // crawl file) costs one record, not the rest of the file/task
+        new BufferedInputStream(new GzipMemberResyncStream(pb), 1 << 16)
       else pb
     recordIterator(stream, maxPayload)
   }

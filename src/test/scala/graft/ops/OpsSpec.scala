@@ -290,6 +290,20 @@ class OpsSpec extends AnyFunSuite {
     // garbage rejected
     assert(ImageHeaders.decodePng("nope".getBytes) == None)
     assert(ImageHeaders.decodeBmp(Array.fill[Byte](60)(0)) == None)
+
+    val jpg = ImageHeaders.encodeJpeg(33, 21, seed = 7)
+    assert(ImageHeaders.isJpeg(jpg))
+    assert(ImageHeaders.decodeJpeg(jpg) == Some((33, 21, 8)))
+    assert(jpg.length == 137 + 33 * 21 / 4) // closed-form length
+    // marker stream is well-formed: ends with EOI, no bare 0xff in the
+    // entropy segment (so no stuffing was needed)
+    assert((jpg(jpg.length - 2) & 0xff) == 0xff &&
+      (jpg(jpg.length - 1) & 0xff) == 0xd9)
+    // truncated mid-SOF and cross-format payloads are rejected
+    assert(ImageHeaders.decodeJpeg(java.util.Arrays.copyOf(jpg, 91)) == None)
+    assert(ImageHeaders.decodeJpeg(png) == None)
+    assert(ImageHeaders.decodePng(jpg) == None)
+    assert(MediaCodec.decode(jpg) == Some(("image", 33, 21, 1)))
   }
 
   test("binaryFile source reads files as pages") {

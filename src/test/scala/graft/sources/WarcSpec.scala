@@ -154,6 +154,72 @@ class WarcSpec extends AnyFunSuite {
       .rdd.getNumPartitions == 3)
   }
 
+  test("corrupt gzip member loses one record, not the rest of the file") {
+    val bos = new ByteArrayOutputStream()
+    for (i <- 0 until 5)
+      Warc.Writer.response(bos, s"http://a.test/$i", ts(i),
+        s"<p>member $i with enough body text to be visible</p>".getBytes(UTF_8),
+        gzipMember = true)
+    val bytes = bos.toByteArray
+    // find member boundaries (1f 8b 08 signatures), corrupt the deflate
+    // data of member 2 well past its header
+    val starts = bytes.indices.filter(i => i + 2 < bytes.length &&
+      (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
+      (bytes(i + 2) & 0xff) == 0x08)
+    assert(starts.length == 5)
+    val corrupted = bytes.clone()
+    for (off <- 15 until 23) corrupted(starts(2) + off) = 0x55
+    val rs = parseAll(corrupted)
+    val urls = rs.map(_.url)
+    // members 0,1,3,4 must all survive; the torn member may vanish
+    for (i <- Seq(0, 1, 3, 4)) assert(urls.contains(s"http://a.test/$i"),
+      s"member $i lost; got $urls")
+    assert(!urls.contains("http://a.test/2") ||
+      rs.find(_.url == "http://a.test/2").forall(r => r.payload != null))
+  }
+
+  test("corruption fuzz: flips/truncations/splices never throw") {
+    // mixed corpus: warcinfo + responses alternating plain/gzip-member,
+    // chunked and gzip-encoded bodies included
+    val bos = new ByteArrayOutputStream()
+    Warc.Writer.warcinfo(bos, ts(0), gzipMember = true)
+    for (i <- 0 until 8)
+      Warc.Writer.response(bos, s"http://f.test/$i", ts(i),
+        (s"<html><body>fuzz doc $i " + "x" * (50 * i) + "</body></html>")
+          .getBytes(UTF_8),
+        gzipMember = i % 2 == 0, chunked = i % 3 == 0, gzipBody = i % 4 == 0)
+    val base = bos.toByteArray
+    val rnd = new java.util.Random(0x5eed)
+    for (trial <- 0 until 300) {
+      val b = base.clone()
+      val mutated: Array[Byte] = rnd.nextInt(3) match {
+        case 0 => // flip 1-16 bytes anywhere
+          for (_ <- 0 to rnd.nextInt(16))
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          b
+        case 1 => // truncate at a random offset
+          java.util.Arrays.copyOf(b, rnd.nextInt(b.length))
+        case 2 => // splice random garbage at a random offset
+          val g = new Array[Byte](1 + rnd.nextInt(64))
+          rnd.nextBytes(g)
+          val at = rnd.nextInt(b.length)
+          val out = new Array[Byte](b.length + g.length)
+          System.arraycopy(b, 0, out, 0, at)
+          System.arraycopy(g, 0, out, at, g.length)
+          System.arraycopy(b, at, out, at + g.length, b.length - at)
+          out
+      }
+      val rs = try parseAll(mutated) catch {
+        case e: Throwable => fail(s"trial $trial threw: $e")
+      }
+      rs.foreach { r =>
+        assert(r.payload != null, s"trial $trial: null payload")
+        assert(r.payload.length <= Warc.DefaultMaxPayload)
+        assert(r.warc_type != null && r.url != null)
+      }
+    }
+  }
+
   test("warcStats surfaces types and byte counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc2").toFile
     dir.deleteOnExit()

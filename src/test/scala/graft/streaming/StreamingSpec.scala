@@ -41,6 +41,19 @@ class StreamingSpec extends AnyFunSuite {
       outDir, ckDir).start()
     q2.awaitTermination(60000)
     assert(spark.read.parquet(outDir).count() == 100)
+
+    // incremental run (the StreamJob contract): files landing between
+    // runs are drained; already-processed files are not re-read
+    spark.range(100L, 120L, 1L, 2)
+      .map(i => graft.pipeline.PagesSynth.row(i))
+      .write.mode("append").parquet(inDir)
+    val q3 = StreamingExtract.writer(
+      StreamingExtract.extract(StreamingExtract.readPages(spark, inDir)),
+      outDir, ckDir).start()
+    q3.awaitTermination(60000)
+    val out3 = spark.read.parquet(outDir)
+    assert(out3.count() == 120)
+    assert(out3.select("url").distinct().count() == 120)
   }
 
   test("stateful first-seen dedup holds state across micro-batches") {
