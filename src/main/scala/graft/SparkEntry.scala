@@ -769,25 +769,33 @@ object SparkEntry {
     "x_stream_extract" -> ((s, _) => {
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_stream_")
-      val results = graft.streaming.StreamingExtract.extract(
-        graft.streaming.StreamingExtract.readPages(s, streamCorpusDir(s)))
-      graft.streaming.StreamingExtract
-        .writer(results, s"$base/out", s"$base/ck")
-        .start().awaitTermination()
-      val rowFp = xxhash64(col("url"), md5(col("text")), col("status"))
-      val r = s.read.parquet(s"$base/out").agg(
-        count(lit(1)).as("docs"),
-        sum(rowFp.cast("decimal(38,0)")).cast("string").as("fp_sum"),
-        bit_xor(rowFp).as("fp_xor"),
-        sum(length(col("text")).cast("long")).as("total_chars"),
-        sum(when(col("status") =!= "FAILED", 1L).otherwise(0L)).as("docs_ok")
-      ).as[(Long, String, Long, Long, Long)].head()
-      // the streaming job is done and the row is materialized — drop the
-      // temp corpus, output and checkpoint before handing the result back
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      Seq(r).toDF("docs", "fp_sum", "fp_xor", "total_chars", "docs_ok")
+      try {
+        val results = graft.streaming.StreamingExtract.extract(
+          graft.streaming.StreamingExtract.readPages(s, streamCorpusDir(s)))
+        val q = graft.streaming.StreamingExtract
+          .writer(results, s"$base/out", s"$base/ck")
+          .start()
+        // bounded: a wedged query must fail the row, not hang the run
+        if (!q.awaitTermination(180000)) {
+          q.stop()
+          throw new RuntimeException("x_stream_extract: stream timed out")
+        }
+        val rowFp = xxhash64(col("url"), md5(col("text")), col("status"))
+        val r = s.read.parquet(s"$base/out").agg(
+          count(lit(1)).as("docs"),
+          sum(rowFp.cast("decimal(38,0)")).cast("string").as("fp_sum"),
+          bit_xor(rowFp).as("fp_xor"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          sum(when(col("status") =!= "FAILED", 1L).otherwise(0L)).as("docs_ok")
+        ).as[(Long, String, Long, Long, Long)].head()
+        Seq(r).toDF("docs", "fp_sum", "fp_xor", "total_chars", "docs_ok")
+      } finally {
+        // the row is materialized (or the attempt failed) — drop the
+        // output and checkpoint either way
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     })
   )
 
@@ -1184,12 +1192,13 @@ object SparkEntry {
         "ELSE 'unknown' END AS brand FROM n ORDER BY doc_id"),
 
     // the container metadata contract, recomputed independently —
-    // every payload is a REAL file (PNG %6=0, BMP %6=3, WAV %3=1, AVI
-    // %3=2) and the Spark side reads the metadata back OUT of the real
-    // headers, so this oracle verifies the actual encode→parse round
-    // trip. Closed forms: image width = 16+(id·7919)%64, height =
-    // 16+(id·104729)%64, bytes PNG = 68 + h·(1+3w), BMP = 54 +
-    // h·((3w+3)//4·4); audio width = channels = 1+id%2, height =
+    // every payload is a REAL file (PNG %9=0, BMP %9=3, JPEG %9=6,
+    // WAV %3=1, AVI %3=2) and the Spark side reads the metadata back
+    // OUT of the real headers, so this oracle verifies the actual
+    // encode→parse round trip. Closed forms: image width =
+    // 16+(id·7919)%64, height = 16+(id·104729)%64, bytes PNG =
+    // 68 + h·(1+3w), BMP = 54 + h·((3w+3)//4·4), JPEG = 137 +
+    // (w·h)//4; audio width = channels = 1+id%2, height =
     // sample rate = 8000+100·((id·7919)%64), n_frames = PCM frames =
     // 64+(id·31)%192, bytes = 44 + frames·channels·2; video n_frames =
     // 1+(id·13)%30, bytes = 108 + bodyLen + (bodyLen%2) with bodyLen =

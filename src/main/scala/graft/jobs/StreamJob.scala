@@ -15,7 +15,9 @@ import graft.streaming.StreamingExtract
   * which input files were processed (exactly-once file-source progress
   * — the streaming counterpart of ExtractJob's lineage-table resume),
   * and `dropDuplicates(url, warc_ts)` under the watermark suppresses
-  * re-crawled duplicates within the lateness window. New files landing
+  * REDELIVERED records (same url and capture timestamp) within the
+  * lateness window — a re-crawl carries a new warc_ts and flows
+  * through, like any fresh capture. New files landing
   * in --input between runs are picked up next run; nothing is
   * reprocessed.
   */
@@ -62,7 +64,12 @@ object StreamJob {
       .start()
     query.awaitTermination()
 
-    val docsOut = spark.read.parquet(output.get).count()
+    // zero-file first run: AvailableNow terminates without committing a
+    // batch and the sink never creates the path — that is a valid drain
+    // of an empty backlog, not an error
+    val docsOut =
+      try spark.read.parquet(output.get).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     // one summary line for the orchestrator (cumulative across runs —
     // the sink is append-mode)
     println(s"""{"docs_out_total":$docsOut,"output":"${output.get}"}""")

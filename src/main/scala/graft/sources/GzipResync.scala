@@ -66,18 +66,10 @@ private[sources] final class GzipMemberResyncStream(raw: InputStream)
 
   // --------------------------------------------------------- member frame
 
-  /** Scan forward for the next `1f 8b 08` signature, position after it.
-    * Returns false at EOF. Forward-only: O(bytes) total across a file. */
-  private def resync(): Boolean = {
-    var b0 = -1; var b1 = -1
-    var b = readByte()
-    while (b >= 0) {
-      if (b0 == 0x1f && b1 == 0x8b && b == 0x08) return true
-      b0 = b1; b1 = b
-      b = readByte()
-    }
-    false
-  }
+  /** Set between an abandoned/torn member and the next found signature,
+    * so the garbage remnant of an already-counted member is not counted
+    * a second time by startMember's skipped-bytes check. */
+  private var resyncing = false
 
   /** Parse one gzip member header, assuming magic+CM already consumed.
     * False on malformation or EOF (caller resyncs). */
@@ -104,34 +96,34 @@ private[sources] final class GzipMemberResyncStream(raw: InputStream)
     true
   }
 
-  /** Position at the start of the next member's deflate data. Tries the
-    * immediate next bytes first (the well-formed concatenation case),
-    * then resyncs on any malformation. False when no member remains. */
+  /** Position at the start of the next member's deflate data by sliding
+    * a 3-byte window over the raw stream until the `1f 8b 08` signature
+    * (degenerately, the very next 3 bytes — the well-formed
+    * concatenation case). Byte-at-a-time sliding is what guarantees a
+    * valid member is never skipped when preceding garbage happens to
+    * end in `1f` or `1f 8b` (a consumed-lookahead scan would eat the
+    * real signature's first bytes). Counts one corruption event when
+    * garbage preceded a FOUND member; benign trailing garbage at EOF is
+    * not counted. False when no member remains. */
   private def startMember(): Boolean = {
     while (true) {
-      val b0 = readByte()
-      if (b0 < 0) return false
-      var haveMagic = false
-      if (b0 == 0x1f) {
-        val b1 = readByte()
-        if (b1 == 0x8b) {
-          val cm = readByte()
-          if (cm == 0x08) haveMagic = true
-          else if (cm < 0) return false
-        } else if (b1 < 0) return false
+      var b0 = readByte(); if (b0 < 0) return false
+      var b1 = readByte(); if (b1 < 0) return false
+      var b2 = readByte(); if (b2 < 0) return false
+      var skipped = 0
+      while (!(b0 == 0x1f && b1 == 0x8b && b2 == 0x08)) {
+        skipped += 1
+        b0 = b1; b1 = b2; b2 = readByte()
+        if (b2 < 0) return false // trailing garbage, no member follows
       }
-      if (!haveMagic) {
-        corruptMembers += 1 // garbage where a member should start
-        if (!resync()) return false
-        haveMagic = true
-      }
+      if (skipped > 0 && !resyncing) corruptMembers += 1
+      resyncing = false
       if (readHeaderAfterMagic()) {
         inf.reset(); crc.reset(); inMember = true
         return true
       }
-      corruptMembers += 1
-      if (!fill() && rawEof) return false // header died at EOF
-      if (!resync()) return false
+      corruptMembers += 1 // torn header; keep scanning
+      resyncing = true
     }
     false // unreachable
   }
@@ -151,18 +143,14 @@ private[sources] final class GzipMemberResyncStream(raw: InputStream)
     inMember = false
   }
 
-  /** Abandon the current member (deflate error / truncation) and move to
-    * the next signature. */
+  /** Abandon the current member (deflate error): hand the inflater's
+    * unconsumed lookahead back and let the next read() resume member
+    * discovery (startMember scans to the next signature). */
   private def abandonMember(): Unit = {
-    bufPos -= inf.getRemaining // unconsumed lookahead back to the buffer
+    bufPos -= inf.getRemaining
     corruptMembers += 1
+    resyncing = true
     inMember = false
-    if (!resync()) finished = true
-    else {
-      // resync leaves us after `1f 8b 08`; parse the rest of the header
-      if (readHeaderAfterMagic()) { inf.reset(); crc.reset(); inMember = true }
-      // else: next read() attempt restarts member discovery
-    }
   }
 
   // ------------------------------------------------------------- contract

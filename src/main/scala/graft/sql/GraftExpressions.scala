@@ -240,20 +240,9 @@ object GraftFunctions {
   /** Register SQL-callable functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_sanitize",
-      exprs => GraftSanitize(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_luhn_valid",
-      exprs => GraftLuhnValid(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_confidence",
-      exprs => GraftConfidence(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_simhash",
-      exprs => GraftSimHash(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_fingerprint",
-      exprs => GraftFingerprint(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      exprs => GraftCosine(exprs.head, exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_sorted_overlap",
-      exprs => GraftSortedOverlap(exprs.head, exprs(1)), "scala_udf")
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
   }
 
   /** All (name, builder) pairs — single source for both registration

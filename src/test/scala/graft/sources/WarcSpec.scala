@@ -178,6 +178,40 @@ class WarcSpec extends AnyFunSuite {
       rs.find(_.url == "http://a.test/2").forall(r => r.payload != null))
   }
 
+  test("gzip resync: signature after 1f-tailed garbage survives; counts") {
+    def member(s: String): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(s.getBytes(UTF_8)); gz.close(); bos.toByteArray
+    }
+    def drain(bytes: Array[Byte]): (String, Int) = {
+      val st = new GzipMemberResyncStream(new ByteArrayInputStream(bytes))
+      val out = new ByteArrayOutputStream()
+      val b = new Array[Byte](4096)
+      var n = st.read(b)
+      while (n >= 0) { out.write(b, 0, n); n = st.read(b) }
+      (new String(out.toByteArray, UTF_8), st.corruptMembers)
+    }
+    // adversarial inter-member garbage ending in the signature's own
+    // prefix bytes — a consumed-lookahead scan would eat the real
+    // member's 1f and skip it entirely
+    for (garbage <- Seq(Array[Byte](0x41, 0x1f), Array[Byte](0x41, 0x1f, 0x8b.toByte))) {
+      val bytes = member("AAA") ++ garbage ++ member("BBB")
+      val (text, bad) = drain(bytes)
+      assert(text == "AAABBB", s"garbage=${garbage.toList}: got '$text'")
+      assert(bad == 1) // the garbage gap counts once
+    }
+    // benign trailing garbage is tolerated and NOT counted
+    val (t2, c2) = drain(member("AAA") ++ Array[Byte](1, 2, 3, 4))
+    assert(t2 == "AAA" && c2 == 0)
+    // a corrupt middle member counts once; neighbors survive
+    val mid = member("MMMMMMMM")
+    for (off <- 12 until 16) mid(off) = 0x77
+    val (t3, c3) = drain(member("AAA") ++ mid ++ member("CCC"))
+    assert(t3.startsWith("AAA") && t3.endsWith("CCC"), t3)
+    assert(c3 == 1, s"corruptMembers=$c3")
+  }
+
   test("corruption fuzz: flips/truncations/splices never throw") {
     // mixed corpus: warcinfo + responses alternating plain/gzip-member,
     // chunked and gzip-encoded bodies included
