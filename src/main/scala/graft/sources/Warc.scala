@@ -83,21 +83,27 @@ object Warc {
 
   // ---------------------------------------------------------------- parse
 
-  /** Lazily parse all records from `in` (plain or gzipped — sniffed). */
-  def records(in: InputStream,
-              maxPayload: Int = DefaultMaxPayload): Iterator[WarcRecordRow] = {
+  /** Sniff gzip magic and wrap accordingly; the resync stream (when
+    * gzip) is returned so callers can read its corruption counter after
+    * exhaustion. */
+  private def openStream(in: InputStream)
+      : (InputStream, Option[GzipMemberResyncStream]) = {
     val pb = new PushbackInputStream(new BufferedInputStream(in, 1 << 16), 2)
     val b0 = pb.read(); val b1 = pb.read()
     if (b1 >= 0) pb.unread(b1)
     if (b0 >= 0) pb.unread(b0)
-    val stream: InputStream =
-      if (b0 == 0x1f && b1 == 0x8b)
-        // member-resync reader: a corrupt gzip member (bit rot in a ~1 GB
-        // crawl file) costs one record, not the rest of the file/task
-        new BufferedInputStream(new GzipMemberResyncStream(pb), 1 << 16)
-      else pb
-    recordIterator(stream, maxPayload)
+    if (b0 == 0x1f && b1 == 0x8b) {
+      // member-resync reader: a corrupt gzip member (bit rot in a ~1 GB
+      // crawl file) costs one record, not the rest of the file/task
+      val gz = new GzipMemberResyncStream(pb)
+      (new BufferedInputStream(gz, 1 << 16), Some(gz))
+    } else (pb, None)
   }
+
+  /** Lazily parse all records from `in` (plain or gzipped — sniffed). */
+  def records(in: InputStream,
+              maxPayload: Int = DefaultMaxPayload): Iterator[WarcRecordRow] =
+    recordIterator(openStream(in)._1, maxPayload)
 
   private def recordIterator(in: InputStream,
                              maxPayload: Int): Iterator[WarcRecordRow] =
@@ -354,7 +360,19 @@ object Warc {
       it.flatMap { p =>
         val path = new Path(p)
         val fs = path.getFileSystem(conf.conf)
-        records(fs.open(path), maxPayload)
+        val in = fs.open(path)
+        val rec = records(in, maxPayload)
+        // close the file handle at exhaustion — an executor outlives
+        // many tasks, and 10^5 leaked FSDataInputStreams add up
+        new Iterator[WarcRecordRow] {
+          private var closed = false
+          override def hasNext: Boolean = {
+            val h = rec.hasNext
+            if (!h && !closed) { closed = true; in.close() }
+            h
+          }
+          override def next(): WarcRecordRow = rec.next()
+        }
       }
     }
   }
@@ -377,6 +395,36 @@ object Warc {
       .select(col("warc_type"), col("url"), col("http_status"),
         col("http_content_type"),
         length(col("payload")).as("payload_bytes"), col("truncated"))
+
+  /** Per-file ingest health — one row per WARC file: record/response/
+    * truncation counts plus the gzip member-resync corruption counter
+    * (0 for plain files). The operational view for a 10^5-file crawl
+    * load: `WHERE corrupt_gzip_members > 0` lists the files bit rot
+    * touched, with the parallelism (one task per file) of the ingest
+    * itself. */
+  def warcFileSummaries(spark: SparkSession, glob: String,
+                        maxPayload: Int = DefaultMaxPayload): DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val paths = listFiles(spark, glob)
+    val rdd = spark.sparkContext.parallelize(paths, math.max(1, paths.length))
+    spark.createDataset(rdd).map { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf.conf)
+      val (stream, gz) = openStream(fs.open(path))
+      var records = 0L; var responses = 0L; var truncated = 0L
+      var payloadBytes = 0L
+      try recordIterator(stream, maxPayload).foreach { r =>
+        records += 1
+        if (r.warc_type == "response") responses += 1
+        if (r.truncated) truncated += 1
+        if (r.payload != null) payloadBytes += r.payload.length
+      } finally stream.close()
+      (p, records, responses, truncated, payloadBytes,
+        gz.map(_.corruptMembers.toLong).getOrElse(0L))
+    }.toDF("file", "records", "responses", "truncated_records",
+      "payload_bytes", "corrupt_gzip_members")
+  }
 
   private def listFiles(spark: SparkSession, glob: String): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -268,6 +268,39 @@ class WarcSpec extends AnyFunSuite {
     assert(resp.getInt(4) == 5)
   }
 
+  test("warcFileSummaries: per-file health incl. corrupt-member counter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc3").toFile
+    dir.deleteOnExit()
+    // clean file: 3 gzip-member responses
+    val clean = new java.io.File(dir, "a_clean.warc.gz")
+    val o1 = new FileOutputStream(clean)
+    for (i <- 0 until 3)
+      Warc.Writer.response(o1, s"http://h.test/$i", ts(i),
+        s"<p>ok $i</p>".getBytes(UTF_8), gzipMember = true)
+    o1.close()
+    // damaged file: middle member's deflate bytes corrupted
+    val bos = new ByteArrayOutputStream()
+    for (i <- 0 until 3)
+      Warc.Writer.response(bos, s"http://h.test/d$i", ts(i),
+        s"<p>damaged $i</p>".getBytes(UTF_8), gzipMember = true)
+    val bytes = bos.toByteArray
+    val starts = bytes.indices.filter(i => i + 2 < bytes.length &&
+      (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
+      (bytes(i + 2) & 0xff) == 0x08)
+    for (off <- 15 until 23) bytes(starts(1) + off) = 0x55
+    val damaged = new java.io.File(dir, "b_damaged.warc.gz")
+    val o2 = new FileOutputStream(damaged)
+    o2.write(bytes); o2.close()
+
+    val rows = Warc.warcFileSummaries(spark, dir.getAbsolutePath + "/*.warc.gz")
+      .collect().map(r => r.getString(0).split('/').last ->
+        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(rows("a_clean.warc.gz") == ((3L, 3L, 0L)), rows.toString)
+    val (recs, resps, corrupt) = rows("b_damaged.warc.gz")
+    assert(corrupt >= 1L, s"corrupt=$corrupt")
+    assert(recs >= 2L && resps >= 2L, s"recs=$recs resps=$resps")
+  }
+
   test("dechunk handles extensions and malformed sizes") {
     val chunked = "5;ext=1\r\nhello\r\n3\r\n wo\r\n0\r\n\r\n".getBytes(UTF_8)
     assert(new String(Warc.dechunk(chunked), UTF_8) == "hello wo")
