@@ -83,20 +83,29 @@ object Warc {
 
   // ---------------------------------------------------------------- parse
 
-  /** Sniff gzip magic and wrap accordingly; the resync stream (when
-    * gzip) is returned so callers can read its corruption counter after
-    * exhaustion. */
+  /** Sniff the compression magic and wrap accordingly: gzip (1f 8b —
+    * the canonical Common-Crawl member-per-record layout, read through
+    * the member-resync stream so bit rot costs one record), zstd
+    * (28 b5 2f fd — via Spark's bundled zstd-jni; multi-frame
+    * continuous mode, skippable frames passed over), or plain. The
+    * resync stream (when gzip) is returned so callers can read its
+    * corruption counter after exhaustion. */
   private def openStream(in: InputStream)
       : (InputStream, Option[GzipMemberResyncStream]) = {
-    val pb = new PushbackInputStream(new BufferedInputStream(in, 1 << 16), 2)
-    val b0 = pb.read(); val b1 = pb.read()
-    if (b1 >= 0) pb.unread(b1)
-    if (b0 >= 0) pb.unread(b0)
-    if (b0 == 0x1f && b1 == 0x8b) {
-      // member-resync reader: a corrupt gzip member (bit rot in a ~1 GB
-      // crawl file) costs one record, not the rest of the file/task
+    val pb = new PushbackInputStream(new BufferedInputStream(in, 1 << 16), 4)
+    val m = new Array[Byte](4)
+    var n = 0
+    var r = pb.read(m, 0, 4)
+    while (r > 0 && n + r <= 4) { n += r; r = if (n < 4) pb.read(m, n, 4 - n) else 0 }
+    if (n > 0) pb.unread(m, 0, n)
+    if (n >= 2 && (m(0) & 0xff) == 0x1f && (m(1) & 0xff) == 0x8b) {
       val gz = new GzipMemberResyncStream(pb)
       (new BufferedInputStream(gz, 1 << 16), Some(gz))
+    } else if (n >= 4 && (m(0) & 0xff) == 0x28 && (m(1) & 0xff) == 0xb5 &&
+        (m(2) & 0xff) == 0x2f && (m(3) & 0xff) == 0xfd) {
+      val zst = new com.github.luben.zstd.ZstdInputStream(pb)
+      zst.setContinuous(true) // read across frame boundaries
+      (new BufferedInputStream(zst, 1 << 16), None)
     } else (pb, None)
   }
 

@@ -268,6 +268,30 @@ class WarcSpec extends AnyFunSuite {
     assert(resp.getInt(4) == 5)
   }
 
+  test("zstd-compressed WARC streams parse (multi-frame, sniffed)") {
+    // whole-file single frame
+    val bos1 = new ByteArrayOutputStream()
+    val z1 = new com.github.luben.zstd.ZstdOutputStream(bos1)
+    val rec = new ByteArrayOutputStream()
+    for (i <- 0 until 4)
+      Warc.Writer.response(rec, s"http://z.test/$i", ts(i),
+        s"<p>zstd doc $i</p>".getBytes(UTF_8))
+    z1.write(rec.toByteArray); z1.close()
+    val rs1 = parseAll(bos1.toByteArray)
+    assert(rs1.map(_.url) == (0 until 4).map(i => s"http://z.test/$i").toList)
+    assert(new String(rs1.head.payload, UTF_8) == "<p>zstd doc 0</p>")
+    // frame-per-record concatenation (continuous mode)
+    val bos2 = new ByteArrayOutputStream()
+    for (i <- 0 until 3) {
+      val one = new ByteArrayOutputStream()
+      Warc.Writer.response(one, s"http://z.test/m$i", ts(i),
+        s"<p>member frame $i</p>".getBytes(UTF_8))
+      bos2.write(com.github.luben.zstd.Zstd.compress(one.toByteArray))
+    }
+    val rs2 = parseAll(bos2.toByteArray)
+    assert(rs2.map(_.url) == (0 until 3).map(i => s"http://z.test/m$i").toList)
+  }
+
   test("warcFileSummaries: per-file health incl. corrupt-member counter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc3").toFile
     dir.deleteOnExit()
