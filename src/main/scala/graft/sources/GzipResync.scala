@@ -155,8 +155,8 @@ private[sources] final class GzipMemberResyncStream(raw: InputStream)
 
   // ------------------------------------------------------------- contract
 
+  private val one = new Array[Byte](1)
   override def read(): Int = {
-    val one = new Array[Byte](1)
     val n = read(one, 0, 1)
     if (n < 0) -1 else one(0) & 0xff
   }

@@ -94,9 +94,7 @@ object Warc {
       : (InputStream, Option[GzipMemberResyncStream]) = {
     val pb = new PushbackInputStream(new BufferedInputStream(in, 1 << 16), 4)
     val m = new Array[Byte](4)
-    var n = 0
-    var r = pb.read(m, 0, 4)
-    while (r > 0 && n + r <= 4) { n += r; r = if (n < 4) pb.read(m, n, 4 - n) else 0 }
+    val n = pb.readNBytes(m, 0, 4)
     if (n > 0) pb.unread(m, 0, n)
     if (n >= 2 && (m(0) & 0xff) == 0x1f && (m(1) & 0xff) == 0x8b) {
       val gz = new GzipMemberResyncStream(pb)

@@ -27,6 +27,12 @@ class WarcSpec extends AnyFunSuite {
   private def parseAll(bytes: Array[Byte]): List[WarcRecordRow] =
     Warc.records(new ByteArrayInputStream(bytes)).toList
 
+  /** Offsets of every gzip member signature (1f 8b 08) in `bytes`. */
+  private def memberStarts(bytes: Array[Byte]): Seq[Int] =
+    bytes.indices.filter(i => i + 2 < bytes.length &&
+      (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
+      (bytes(i + 2) & 0xff) == 0x08)
+
   test("plain single response record round-trips") {
     val bos = new ByteArrayOutputStream()
     val body = "<html><body>hello warc</body></html>".getBytes(UTF_8)
@@ -163,9 +169,7 @@ class WarcSpec extends AnyFunSuite {
     val bytes = bos.toByteArray
     // find member boundaries (1f 8b 08 signatures), corrupt the deflate
     // data of member 2 well past its header
-    val starts = bytes.indices.filter(i => i + 2 < bytes.length &&
-      (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
-      (bytes(i + 2) & 0xff) == 0x08)
+    val starts = memberStarts(bytes)
     assert(starts.length == 5)
     val corrupted = bytes.clone()
     for (off <- 15 until 23) corrupted(starts(2) + off) = 0x55
@@ -308,9 +312,7 @@ class WarcSpec extends AnyFunSuite {
       Warc.Writer.response(bos, s"http://h.test/d$i", ts(i),
         s"<p>damaged $i</p>".getBytes(UTF_8), gzipMember = true)
     val bytes = bos.toByteArray
-    val starts = bytes.indices.filter(i => i + 2 < bytes.length &&
-      (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b &&
-      (bytes(i + 2) & 0xff) == 0x08)
+    val starts = memberStarts(bytes)
     for (off <- 15 until 23) bytes(starts(1) + off) = 0x55
     val damaged = new java.io.File(dir, "b_damaged.warc.gz")
     val o2 = new FileOutputStream(damaged)
