@@ -65,11 +65,19 @@ object StreamJob {
     query.awaitTermination()
 
     // zero-file first run: AvailableNow terminates without committing a
-    // batch and the sink never creates the path — that is a valid drain
-    // of an empty backlog, not an error
-    val docsOut =
-      try spark.read.parquet(output.get).count()
-      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    // batch, leaving the sink dir absent or holding only
+    // _spark_metadata — a valid drain of an empty backlog, not an
+    // error. Only that case is special-cased (no data files); any other
+    // read failure (unreadable dir, schema problems) must surface, not
+    // masquerade as an empty drain.
+    val outPath = new org.apache.hadoop.fs.Path(output.get)
+    val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = outFs.exists(outPath) &&
+      outFs.listStatus(outPath).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val docsOut = if (!hasData) 0L else spark.read.parquet(output.get).count()
     // one summary line for the orchestrator (cumulative across runs —
     // the sink is append-mode)
     println(s"""{"docs_out_total":$docsOut,"output":"${output.get}"}""")

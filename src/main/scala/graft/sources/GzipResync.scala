@@ -196,3 +196,38 @@ private[sources] final class GzipMemberResyncStream(raw: InputStream)
     raw.close()
   }
 }
+
+/** Lenient wrapper over the zstd decoder: a mid-stream IOException
+  * (flipped byte, inter-frame garbage, dictionary-compressed frame
+  * without its dictionary) ENDS the file's stream instead of failing
+  * the Spark task — the WARC module's never-throws contract. Unlike
+  * gzip there is no per-member resync (zstd-jni owns the frame walk),
+  * so corruption truncates the file at that point; `aborted` records
+  * that it happened for the per-file health view. */
+private[sources] final class ZstdLenientStream(zst: InputStream)
+    extends InputStream {
+
+  private var done = false
+  private[sources] var aborted = false
+
+  private val one = new Array[Byte](1)
+  override def read(): Int = {
+    val n = read(one, 0, 1)
+    if (n < 0) -1 else one(0) & 0xff
+  }
+
+  override def read(out: Array[Byte], off: Int, len: Int): Int = {
+    if (done) return -1
+    try {
+      val n = zst.read(out, off, len)
+      if (n < 0) done = true
+      n
+    } catch {
+      case _: java.io.IOException => aborted = true; done = true; -1
+    }
+  }
+
+  override def available(): Int = if (done) 0 else 1
+
+  override def close(): Unit = zst.close()
+}

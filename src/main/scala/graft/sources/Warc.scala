@@ -83,34 +83,57 @@ object Warc {
 
   // ---------------------------------------------------------------- parse
 
+  /** A sniffed input: the decoding stream plus the health handles the
+    * compression layer exposes. Closing `stream` cascades through the
+    * decoder (freeing its native Inflater/zstd context) down to the
+    * underlying file handle. */
+  private[sources] final case class SniffedStream(
+      stream: InputStream,
+      gzip: Option[GzipMemberResyncStream],
+      zstd: Option[ZstdLenientStream]) {
+    /** Damaged compression units observed so far: gzip members skipped
+      * by the resync reader, or 1 when the zstd frame walk aborted. */
+    def corruptUnits: Long =
+      gzip.map(_.corruptMembers.toLong).getOrElse(0L) +
+        zstd.count(_.aborted).toLong
+    def close(): Unit = stream.close()
+  }
+
   /** Sniff the compression magic and wrap accordingly: gzip (1f 8b —
     * the canonical Common-Crawl member-per-record layout, read through
     * the member-resync stream so bit rot costs one record), zstd
-    * (28 b5 2f fd — via Spark's bundled zstd-jni; multi-frame
-    * continuous mode, skippable frames passed over), or plain. The
-    * resync stream (when gzip) is returned so callers can read its
-    * corruption counter after exhaustion. */
-  private def openStream(in: InputStream)
-      : (InputStream, Option[GzipMemberResyncStream]) = {
+    * (standard frame 28 b5 2f fd, or a leading skippable frame
+    * 5x 2a 4d 18 — via Spark's bundled zstd-jni, continuous multi-frame
+    * mode, lenient wrapper so corruption truncates instead of throwing),
+    * or plain. */
+  private[sources] def openStream(in: InputStream): SniffedStream = {
     val pb = new PushbackInputStream(new BufferedInputStream(in, 1 << 16), 4)
     val m = new Array[Byte](4)
     val n = pb.readNBytes(m, 0, 4)
     if (n > 0) pb.unread(m, 0, n)
-    if (n >= 2 && (m(0) & 0xff) == 0x1f && (m(1) & 0xff) == 0x8b) {
+    def b(i: Int): Int = m(i) & 0xff
+    val isZstd = n >= 4 &&
+      ((b(0) == 0x28 && b(1) == 0xb5 && b(2) == 0x2f && b(3) == 0xfd) ||
+        ((b(0) & 0xf0) == 0x50 && b(1) == 0x2a && b(2) == 0x4d && b(3) == 0x18))
+    if (n >= 2 && b(0) == 0x1f && b(1) == 0x8b) {
       val gz = new GzipMemberResyncStream(pb)
-      (new BufferedInputStream(gz, 1 << 16), Some(gz))
-    } else if (n >= 4 && (m(0) & 0xff) == 0x28 && (m(1) & 0xff) == 0xb5 &&
-        (m(2) & 0xff) == 0x2f && (m(3) & 0xff) == 0xfd) {
-      val zst = new com.github.luben.zstd.ZstdInputStream(pb)
-      zst.setContinuous(true) // read across frame boundaries
-      (new BufferedInputStream(zst, 1 << 16), None)
-    } else (pb, None)
+      SniffedStream(new BufferedInputStream(gz, 1 << 16), Some(gz), None)
+    } else if (isZstd) {
+      val raw = new com.github.luben.zstd.ZstdInputStream(pb)
+      raw.setContinuous(true) // read across frame boundaries
+      val zst = new ZstdLenientStream(raw)
+      SniffedStream(new BufferedInputStream(zst, 1 << 16), None, Some(zst))
+    } else SniffedStream(pb, None, None)
   }
 
-  /** Lazily parse all records from `in` (plain or gzipped — sniffed). */
+  /** Lazily parse all records from `in` (plain, gzip, or zstd —
+    * sniffed). Note: the decoder's native context is freed when the
+    * SOURCE stream's close cascades or at GC; the Spark paths
+    * (`warcRecords`, `warcFileSummaries`) close the sniffed stream
+    * explicitly. */
   def records(in: InputStream,
               maxPayload: Int = DefaultMaxPayload): Iterator[WarcRecordRow] =
-    recordIterator(openStream(in)._1, maxPayload)
+    recordIterator(openStream(in).stream, maxPayload)
 
   private def recordIterator(in: InputStream,
                              maxPayload: Int): Iterator[WarcRecordRow] =
@@ -367,15 +390,22 @@ object Warc {
       it.flatMap { p =>
         val path = new Path(p)
         val fs = path.getFileSystem(conf.conf)
-        val in = fs.open(path)
-        val rec = records(in, maxPayload)
-        // close the file handle at exhaustion — an executor outlives
-        // many tasks, and 10^5 leaked FSDataInputStreams add up
+        val sniffed = openStream(fs.open(path))
+        var closed = false
+        def closeOnce(): Unit =
+          if (!closed) { closed = true; sniffed.close() }
+        // free the file handle AND the decoder's native context (the
+        // close cascades): at exhaustion for the common full-drain
+        // case, and at task completion for early termination (limit,
+        // downstream failure) — an executor outlives many tasks, and
+        // 10^5 leaked handles/Inflaters add up
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        val rec = recordIterator(sniffed.stream, maxPayload)
         new Iterator[WarcRecordRow] {
-          private var closed = false
           override def hasNext: Boolean = {
             val h = rec.hasNext
-            if (!h && !closed) { closed = true; in.close() }
+            if (!h) closeOnce()
             h
           }
           override def next(): WarcRecordRow = rec.next()
@@ -404,9 +434,10 @@ object Warc {
         length(col("payload")).as("payload_bytes"), col("truncated"))
 
   /** Per-file ingest health — one row per WARC file: record/response/
-    * truncation counts plus the gzip member-resync corruption counter
-    * (0 for plain files). The operational view for a 10^5-file crawl
-    * load: `WHERE corrupt_gzip_members > 0` lists the files bit rot
+    * truncation counts plus the damaged-compression-unit counter (gzip
+    * members skipped by the resync reader, or a zstd frame-walk abort;
+    * 0 for plain files). The operational view for a 10^5-file crawl
+    * load: `WHERE corrupt_members > 0` lists the files bit rot
     * touched, with the parallelism (one task per file) of the ingest
     * itself. */
   def warcFileSummaries(spark: SparkSession, glob: String,
@@ -418,19 +449,18 @@ object Warc {
     spark.createDataset(rdd).map { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf.conf)
-      val (stream, gz) = openStream(fs.open(path))
+      val sniffed = openStream(fs.open(path))
       var records = 0L; var responses = 0L; var truncated = 0L
       var payloadBytes = 0L
-      try recordIterator(stream, maxPayload).foreach { r =>
+      try recordIterator(sniffed.stream, maxPayload).foreach { r =>
         records += 1
         if (r.warc_type == "response") responses += 1
         if (r.truncated) truncated += 1
         if (r.payload != null) payloadBytes += r.payload.length
-      } finally stream.close()
-      (p, records, responses, truncated, payloadBytes,
-        gz.map(_.corruptMembers.toLong).getOrElse(0L))
+      } finally sniffed.close()
+      (p, records, responses, truncated, payloadBytes, sniffed.corruptUnits)
     }.toDF("file", "records", "responses", "truncated_records",
-      "payload_bytes", "corrupt_gzip_members")
+      "payload_bytes", "corrupt_members")
   }
 
   private def listFiles(spark: SparkSession, glob: String): Seq[String] = {

@@ -296,6 +296,40 @@ class WarcSpec extends AnyFunSuite {
     assert(rs2.map(_.url) == (0 until 3).map(i => s"http://z.test/m$i").toList)
   }
 
+  test("zstd corruption truncates, never throws; skippable frames skip") {
+    val rec = new ByteArrayOutputStream()
+    for (i <- 0 until 4)
+      Warc.Writer.response(rec, s"http://zc.test/$i", ts(i),
+        s"<p>zstd corrupt trial doc $i</p>".getBytes(UTF_8))
+    val frame = com.github.luben.zstd.Zstd.compress(rec.toByteArray)
+    // flip every byte position in turn: parse must never throw, and any
+    // records returned must be a prefix-consistent subset
+    for (pos <- frame.indices by 7) {
+      val bad = frame.clone()
+      bad(pos) = (bad(pos) ^ 0x55).toByte
+      val rs = try parseAll(bad) catch {
+        case e: Throwable => fail(s"flip@$pos threw: $e")
+      }
+      rs.foreach(r => assert(r.payload != null))
+    }
+    // inter-frame garbage: records before the damage survive
+    val twoFrames = new ByteArrayOutputStream()
+    val one = new ByteArrayOutputStream()
+    Warc.Writer.response(one, "http://zc.test/first", ts(9),
+      "<p>first frame</p>".getBytes(UTF_8))
+    twoFrames.write(com.github.luben.zstd.Zstd.compress(one.toByteArray))
+    twoFrames.write(Array[Byte](0x7f, 0x33, 0x11, 0x00)) // garbage
+    val rsGap = parseAll(twoFrames.toByteArray)
+    assert(rsGap.map(_.url) == List("http://zc.test/first"))
+    // leading skippable frame (magic 5x 2a 4d 18) routes into the zstd
+    // branch and is skipped transparently
+    val withSkip = new ByteArrayOutputStream()
+    withSkip.write(Array[Byte](0x50, 0x2a, 0x4d, 0x18, 4, 0, 0, 0, 1, 2, 3, 4))
+    withSkip.write(com.github.luben.zstd.Zstd.compress(one.toByteArray))
+    val rsSkip = parseAll(withSkip.toByteArray)
+    assert(rsSkip.map(_.url) == List("http://zc.test/first"))
+  }
+
   test("warcFileSummaries: per-file health incl. corrupt-member counter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-warc3").toFile
     dir.deleteOnExit()
@@ -325,6 +359,27 @@ class WarcSpec extends AnyFunSuite {
     val (recs, resps, corrupt) = rows("b_damaged.warc.gz")
     assert(corrupt >= 1L, s"corrupt=$corrupt")
     assert(recs >= 2L && resps >= 2L, s"recs=$recs resps=$resps")
+
+    // a zstd file with a damaged frame reports the abort in the same
+    // counter; a clean zstd file reports 0
+    val zrec = new ByteArrayOutputStream()
+    for (i <- 0 until 3)
+      Warc.Writer.response(zrec, s"http://h.test/z$i", ts(i),
+        s"<p>zstd $i</p>".getBytes(UTF_8))
+    val zframe = com.github.luben.zstd.Zstd.compress(zrec.toByteArray)
+    val o3 = new FileOutputStream(new java.io.File(dir, "c_clean.warc.zst"))
+    o3.write(zframe); o3.close()
+    // deterministic damage: garbage where the next frame header should
+    // be ("Unknown frame descriptor" in zstd-jni) — a mid-frame literal
+    // flip can decode "cleanly" to wrong bytes, which the WARC layer,
+    // not the container, is responsible for catching
+    val o4 = new FileOutputStream(new java.io.File(dir, "d_damaged.warc.zst"))
+    o4.write(zframe); o4.write(Array[Byte](0x7f, 0x33, 0x11, 0x00)); o4.close()
+    val zrows = Warc.warcFileSummaries(spark, dir.getAbsolutePath + "/*.warc.zst")
+      .collect().map(r => r.getString(0).split('/').last ->
+        (r.getLong(1), r.getLong(5))).toMap
+    assert(zrows("c_clean.warc.zst") == ((3L, 0L)), zrows.toString)
+    assert(zrows("d_damaged.warc.zst")._2 == 1L, zrows.toString)
   }
 
   test("dechunk handles extensions and malformed sizes") {
