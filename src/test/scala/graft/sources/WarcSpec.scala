@@ -158,6 +158,10 @@ class WarcSpec extends AnyFunSuite {
     // one task per file
     assert(Warc.warcRecords(spark, dir.getAbsolutePath + "/*.warc.gz")
       .rdd.getNumPartitions == 3)
+    // early termination (limit) leaves cleanup to the task-completion
+    // listener — must not error or wedge
+    assert(Warc.warcFiles(spark, dir.getAbsolutePath + "/*.warc.gz")
+      .limit(7).count() == 7)
   }
 
   test("corrupt gzip member loses one record, not the rest of the file") {
