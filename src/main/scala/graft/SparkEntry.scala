@@ -796,8 +796,60 @@ object SparkEntry {
         java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
+    }),
+
+    // ---- WARC → kernel end-to-end (S9 ∘ O1, constant-oracled) -----------
+    // The full crawl-ingest path a production run takes: the 500-page
+    // deterministic corpus ENCODED into real on-disk WARC files (8
+    // files, per-record gzip members on even files, plain on odd; every
+    // 5th body chunked, every 3rd gzip-content-encoded), read back by
+    // Warc.warcFiles (one task per file — the CC parallelism unit) and
+    // fed through ExtractPipeline.extract (salted repartition + the
+    // kernel). The aggregate is the SAME fingerprint family as
+    // x_extract_md5 and the oracle pins the SAME constants — a
+    // container-decode bug anywhere between WARC bytes and the kernel
+    // (lost/duplicated/mutated html) turns this row red driver-side.
+    "x_warc_extract" -> ((s, _) => {
+      val pages = graft.sources.Warc.warcFiles(s, warcCorpusDir(s) + "/*")
+      val results = graft.pipeline.ExtractPipeline.extract(pages, 8).toDF()
+      val rowFp = xxhash64(col("url"), md5(col("text")), col("status"))
+      results.agg(
+        count(lit(1)).as("docs"),
+        sum(rowFp.cast("decimal(38,0)")).cast("string").as("fp_sum"),
+        bit_xor(rowFp).as("fp_xor"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(when(col("status") =!= "FAILED", 1L).otherwise(0L)).as("docs_ok"))
     })
   )
+
+  /** The 500-page corpus as real WARC files, written once per JVM (8
+    * files; even files per-record-gzip-membered, odd plain; bodies
+    * chunked / Content-Encoding-gzipped on the same i%5 / i%3 mix as
+    * x_warc_ingest) — the input of the x_warc_extract seam gate. */
+  @volatile private var warcCorpus: String = _
+  private def warcCorpusDir(s: SparkSession): String = synchronized {
+    if (warcCorpus == null) {
+      val d = java.nio.file.Files.createTempDirectory("graft_warc_corpus_")
+      (0 until 8).foreach { f =>
+        val name = if (f % 2 == 0) s"part-$f.warc.gz" else s"part-$f.warc"
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(s"$d/$name"))
+        try {
+          var i = f.toLong
+          while (i < 500L) {
+            val p = graft.pipeline.PagesSynth.row(i)
+            graft.sources.Warc.Writer.response(out, p.url,
+              p.warc_ts.toInstant, p.html,
+              chunked = i % 5 == 0, gzipBody = i % 3 == 0,
+              gzipMember = f % 2 == 0)
+            i += 8L
+          }
+        } finally out.close()
+      }
+      warcCorpus = d.toString
+    }
+    warcCorpus
+  }
 
   /** Deterministic 500-page corpus materialized as parquet once per JVM
     * (it never changes within a process — the bench times the streaming
@@ -1285,6 +1337,17 @@ object SparkEntry {
     // streaming/batch parity: the streaming pipeline over the same
     // 500-page corpus must reproduce x_extract_md5's constants exactly
     "x_stream_extract" ->
+      ("SELECT CAST(500 AS BIGINT) AS docs, " +
+        "'-94853241529088161573' AS fp_sum, " +
+        "CAST(-5030084791255098323 AS BIGINT) AS fp_xor, " +
+        "CAST(1617883 AS BIGINT) AS total_chars, " +
+        "CAST(488 AS BIGINT) AS docs_ok"),
+
+    // WARC → kernel seam: the crawl-container roundtrip (WARC encode →
+    // warcFiles → ExtractPipeline) must reproduce x_extract_md5's
+    // constants exactly — byte-identical html through gzip members,
+    // chunked transfer and Content-Encoding, no lost/duplicated pages
+    "x_warc_extract" ->
       ("SELECT CAST(500 AS BIGINT) AS docs, " +
         "'-94853241529088161573' AS fp_sum, " +
         "CAST(-5030084791255098323 AS BIGINT) AS fp_xor, " +

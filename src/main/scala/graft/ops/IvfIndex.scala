@@ -394,7 +394,8 @@ object IvfIndex {
     // instead of a driver-OOM-sized collect
     if (n < BruteCrossover && Similarity.routesToBrute(n,
         Similarity.embDim(corpus), BruteCrossover, broadcastBudget))
-      Similarity.bruteCosineTopKSelf(corpus, k)
+      Similarity.bruteCosineTopKSelf(corpus, k, broadcastBudget,
+        preChecked = true)
     else topK(corpus, train(corpus, knownN = n), k, nprobe, cellCap,
       replicas, subProbe)
   }

@@ -62,31 +62,54 @@ object Similarity {
     * cosine itself), then a window over partitions × queries × k
     * partial rows picks the global top-k. Doubles are bit-identical to
     * the DuckDB oracle ([[SimilarityKernel.cosineDouble]] fold). */
-  def bruteCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    bruteTopKImpl(corpus, queries, k, self = false)
+  def bruteCosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      broadcastBudget: Long = DefaultBroadcastBudgetBytes): DataFrame =
+    bruteTopKImpl(corpus, queries, k, self = false, broadcastBudget,
+      preChecked = false)
 
   /** Self-query variant the auto-routed paths use (queries == corpus):
     * each unordered pair's cosine is computed ONCE and inserted into
-    * both top-k buffers — half the work of the general form. */
-  private[ops] def bruteCosineTopKSelf(corpus: DataFrame, k: Int): DataFrame =
-    bruteTopKImpl(corpus, corpus, k, self = true)
+    * both top-k buffers — half the work of the general form.
+    * `preChecked = true` skips the pre-collect byte-bound job (the auto
+    * routes already asserted [[routesToBrute]] against the same
+    * budget). */
+  private[ops] def bruteCosineTopKSelf(corpus: DataFrame, k: Int,
+      broadcastBudget: Long = DefaultBroadcastBudgetBytes,
+      preChecked: Boolean = false): DataFrame =
+    bruteTopKImpl(corpus, corpus, k, self = true, broadcastBudget,
+      preChecked)
+
+  /** Exact embedding bytes of a frame (one aggregate job) — the
+    * pre-collect guard: asserting AFTER `.collect()` would let the
+    * oversized set reach the driver before the check fires. */
+  private def embeddingBytes(df: DataFrame): Long =
+    df.agg(coalesce(
+        sum(size(col("embedding")).cast("long") * 4L), lit(0L)))
+      .head.getLong(0)
 
   private def bruteTopKImpl(corpus: DataFrame, queries: DataFrame, k: Int,
-      self: Boolean): DataFrame = {
+      self: Boolean, broadcastBudget: Long, preChecked: Boolean): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // fail fast with a named invariant instead of an opaque driver OOM:
+    // the query block is broadcast to every task. Auto routes enforce
+    // the bound BEFORE routing here (routesToBrute against the caller's
+    // budget); direct callers get the bound asserted BEFORE the collect
+    // materializes the set on the driver.
+    if (!preChecked) {
+      val est = embeddingBytes(queries)
+      require(est <= broadcastBudget,
+        s"brute query set is $est B > broadcast budget " +
+          s"$broadcastBudget B — use the LSH/IVF indexed path")
+    }
     val q = queries
       .select(col("vec_id"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    // fail fast with a named invariant instead of an opaque driver OOM:
-    // the query block is broadcast to every task (auto routes enforce
-    // this BEFORE collecting via routesToBrute; direct callers get the
-    // same bound asserted here)
     val qBytes = q.iterator.map(t =>
       if (t._2 == null) 0L else t._2.length * 4L).sum
-    require(qBytes <= DefaultBroadcastBudgetBytes,
+    require(qBytes <= broadcastBudget,
       s"brute query set is $qBytes B > broadcast budget " +
-        s"$DefaultBroadcastBudgetBytes B — use the LSH/IVF indexed path")
+        s"$broadcastBudget B — use the LSH/IVF indexed path")
     // norms precomputed per vector (sqrt of the same left-to-right
     // fold): recomputing both norms per PAIR tripled the inner-loop
     // flops for identical bits
@@ -168,18 +191,28 @@ object Similarity {
     * 10^12 rows. One side is collected and broadcast (as a broadcast
     * join would), each task streams its corpus slice against it in a
     * primitive loop — no per-pair row materialization. */
-  def exactCosineNearDups(corpus: DataFrame, threshold: Double): DataFrame = {
+  def exactCosineNearDups(corpus: DataFrame, threshold: Double,
+      broadcastBudget: Long = DefaultBroadcastBudgetBytes,
+      preChecked: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val rows = corpus
       .select(col("vec_id"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])]
+    // pre-collect bound (skipped when the auto route already asserted
+    // routesToBrute against the same budget) — see bruteTopKImpl
+    if (!preChecked) {
+      val est = embeddingBytes(corpus)
+      require(est <= broadcastBudget,
+        s"exact all-pairs corpus is $est B > broadcast budget " +
+          s"$broadcastBudget B — use cosineNearDups' indexed path")
+    }
     val all = rows.collect().sortBy(_._1)
     val allBytes = all.iterator.map(t =>
       if (t._2 == null) 0L else t._2.length * 4L).sum
-    require(allBytes <= DefaultBroadcastBudgetBytes,
+    require(allBytes <= broadcastBudget,
       s"exact all-pairs corpus is $allBytes B > broadcast budget " +
-        s"$DefaultBroadcastBudgetBytes B — use cosineNearDups' indexed path")
+        s"$broadcastBudget B — use cosineNearDups' indexed path")
     val bc = spark.sparkContext.broadcast(
       (all.map(_._1), all.map(_._2), all.map(r => SimilarityKernel.sqrtNorm(r._2))))
     rows.mapPartitions { it =>
@@ -421,8 +454,13 @@ object Similarity {
     if (auto && n < lshCrossover(tablesForCross) &&
         routesToBrute(n, embDim(corpus), lshCrossover(tablesForCross),
           broadcastBudget))
-      return if (queries == null) bruteCosineTopKSelf(corpus, k)
-        else bruteCosineTopK(corpus, queries, k)
+      return if (queries == null)
+        bruteCosineTopKSelf(corpus, k, broadcastBudget, preChecked = true)
+      else
+        // queries ⊆ corpus, so the corpus-level routesToBrute bound
+        // covers the query block; skip the extra pre-collect job
+        bruteTopKImpl(corpus, queries, k, self = false, broadcastBudget,
+          preChecked = true)
     val bits = if (auto) signBitsFor(n) else signBits
     val tbl = if (tables > 0) tables else if (auto) tablesFor(bits)
       else DefaultTables
@@ -463,7 +501,8 @@ object Similarity {
     if (auto && n < lshCrossover(tablesForCross) &&
         routesToBrute(n, embDim(base), lshCrossover(tablesForCross),
           broadcastBudget))
-      return exactCosineNearDups(base, threshold)
+      return exactCosineNearDups(base, threshold, broadcastBudget,
+        preChecked = true)
     val bits = if (auto) signBitsFor(n) else signBits
     val tbl = if (tables > 0) tables else if (auto) tablesFor(bits)
       else DefaultTables

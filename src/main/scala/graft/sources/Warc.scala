@@ -168,19 +168,37 @@ object Warc {
   }
 
   /** One line, terminator (CRLF or LF) consumed and stripped; null at
-    * EOF before any byte; capped at MaxLineBytes (overflow discarded). */
+    * EOF before any byte; capped at MaxLineBytes (overflow discarded).
+    * Accumulated as BYTES and decoded UTF-8 (ISO 28500 allows UTF-8
+    * header values — per-byte toChar would mojibake a non-ASCII
+    * WARC-Target-URI into downstream page keys), falling back to
+    * ISO-8859-1 when the bytes are not valid UTF-8. */
   private def readLine(in: InputStream): String = {
-    val sb = new java.lang.StringBuilder(80)
+    val buf = new ByteArrayOutputStream(80)
     var c = in.read()
     if (c < 0) return null
     while (c >= 0 && c != '\n') {
-      if (sb.length < MaxLineBytes) sb.append(c.toChar)
+      if (buf.size < MaxLineBytes) buf.write(c)
       c = in.read()
     }
-    var n = sb.length
-    if (n > 0 && sb.charAt(n - 1) == '\r') n -= 1
-    sb.setLength(n)
-    sb.toString
+    val bytes = buf.toByteArray
+    var n = bytes.length
+    if (n > 0 && bytes(n - 1) == '\r') n -= 1
+    decodeHeaderBytes(bytes, n)
+  }
+
+  /** UTF-8 strict decode with ISO-8859-1 fallback (lossless: every byte
+    * maps to a char, so a malformed line survives round-trippable). */
+  private def decodeHeaderBytes(bytes: Array[Byte], n: Int): String = {
+    import java.nio.charset.{StandardCharsets, CodingErrorAction}
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(bytes, 0, n)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(bytes, 0, n, ISO_8859_1)
+    }
   }
 
   /** Parse one record given that the version line was just consumed.
@@ -529,8 +547,19 @@ object Warc {
     def record(out: OutputStream, warcType: String, url: String,
                ts: java.time.Instant, contentType: String,
                block: Array[Byte], gzipMember: Boolean): Unit = {
+      // each gzip member gets its own GZIPOutputStream; close() it (via
+      // a close-shielding wrapper over `out`) so the native Deflater is
+      // released deterministically — finish() alone leaves it to GC,
+      // and multi-member corpora accumulate native memory
       val target: OutputStream =
-        if (gzipMember) new GZIPOutputStream(out) else out
+        if (gzipMember)
+          new GZIPOutputStream(new java.io.FilterOutputStream(out) {
+            // FilterOutputStream's default 3-arg write loops per byte
+            override def write(b: Array[Byte], off: Int, len: Int): Unit =
+              out.write(b, off, len)
+            override def close(): Unit = flush() // shield `out`
+          })
+        else out
       val uriLine = if (url.nonEmpty) s"WARC-Target-URI: $url\r\n" else ""
       val head =
         (s"WARC/1.0\r\nWARC-Type: $warcType\r\n" + uriLine +
@@ -542,7 +571,7 @@ object Warc {
       target.write(block)
       target.write("\r\n\r\n".getBytes(ISO_8859_1))
       target match {
-        case gz: GZIPOutputStream => gz.finish()
+        case gz: GZIPOutputStream => gz.close()
         case _ => ()
       }
     }
