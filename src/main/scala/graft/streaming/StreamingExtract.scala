@@ -41,6 +41,21 @@ object StreamingExtract {
       .mapPartitions(_.map(Extractor.extract))
   }
 
+  /** Streaming extraction behind the stateful first-seen filter
+    * ([[StatefulDedup.firstSeen]]): unbounded exactly-once per url —
+    * suppresses BOTH redeliveries (same url+warc_ts) and re-crawls
+    * (same url, newer warc_ts), where the watermarked [[extract]] only
+    * covers in-window redeliveries. No watermark: first-seen state is
+    * one boolean per url with no timeout (the flatMapGroupsWithState
+    * path can't chain after another stateful operator, so it replaces
+    * dropDuplicates rather than following it). */
+  def extractFirstSeen(pages: DataFrame): Dataset[ExtractResult] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    StatefulDedup.firstSeen(pages.as[PageRow])
+      .mapPartitions(_.map(Extractor.extract))
+  }
+
   /** Available-now (process-backlog-and-stop) writer — the batch-resume
     * shape on a streaming source. */
   def writer(results: Dataset[ExtractResult], outDir: String,
