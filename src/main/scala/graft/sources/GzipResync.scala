@@ -20,7 +20,8 @@ import java.util.zip.{CRC32, DataFormatException, Inflater}
   * Also reads ordinary single-member `.gz` files (a concatenation of one)
   * and tolerates trailing garbage after the last member.
   */
-private[sources] final class GzipMemberResyncStream(raw: InputStream)
+private[sources] final class GzipMemberResyncStream(raw: InputStream,
+    basePos: Long = 0L, startAtSignature: Boolean = false)
     extends InputStream {
 
   private val buf = new Array[Byte](1 << 16)
@@ -36,6 +37,17 @@ private[sources] final class GzipMemberResyncStream(raw: InputStream)
   /** Members skipped (header malformed, deflate error, or truncated). */
   private[sources] var corruptMembers: Int = 0
 
+  /** Total raw bytes pulled from `raw` so far (position accounting for
+    * sub-file splits — see [[memberStartPos]]). */
+  private var rawConsumed: Long = 0L
+
+  /** Raw-file offset of the `1f 8b 08` signature of the member being
+    * (or last) decoded, absolute when `basePos` carries the split
+    * offset the caller seeked to. −1 until the first member starts. The
+    * split reader uses it as the record's container-unit position: a
+    * gzip-membered WARC is splittable exactly at member boundaries. */
+  private[sources] var memberStartPos: Long = -1L
+
   // ------------------------------------------------------------ raw input
 
   /** Ensure at least one unread byte is buffered; false at raw EOF. */
@@ -45,6 +57,7 @@ private[sources] final class GzipMemberResyncStream(raw: InputStream)
       bufPos = 0
       bufLen = raw.read(buf)
       if (bufLen < 0) { bufLen = 0; rawEof = true; return false }
+      rawConsumed += bufLen
     }
     true
   }
@@ -69,7 +82,10 @@ private[sources] final class GzipMemberResyncStream(raw: InputStream)
   /** Set between an abandoned/torn member and the next found signature,
     * so the garbage remnant of an already-counted member is not counted
     * a second time by startMember's skipped-bytes check. */
-  private var resyncing = false
+  // startAtSignature: the stream begins mid-member (a sub-file split
+  // seeked to an arbitrary offset) — scan to the first signature
+  // without counting the skipped bytes as corruption
+  private var resyncing = startAtSignature
 
   /** Parse one gzip member header, assuming magic+CM already consumed.
     * False on malformation or EOF (caller resyncs). */
@@ -118,6 +134,9 @@ private[sources] final class GzipMemberResyncStream(raw: InputStream)
       }
       if (skipped > 0 && !resyncing) corruptMembers += 1
       resyncing = false
+      // signature bytes b0 b1 b2 are already consumed: the member began
+      // 3 bytes before the current unread-buffer position
+      memberStartPos = basePos + rawConsumed - (bufLen - bufPos) - 3
       if (readHeaderAfterMagic()) {
         inf.reset(); crc.reset(); inMember = true
         return true

@@ -443,6 +443,180 @@ object Warc {
       .map(r => PageRow(r.url, r.warc_ts, r.payload, "", ""))
   }
 
+  // ------------------------------------------------------- sub-file splits
+
+  /** One sub-file work unit: the records whose CONTAINER UNIT (gzip
+    * member for `.warc.gz`, the record itself for plain `.warc`)
+    * starts in `[offset, offset + length)`. The final unit may extend
+    * past the end — so adjacent splits of one file are exhaustive and
+    * disjoint, the same contract as Hadoop text splits and CDX-indexed
+    * WARC ranges. */
+  final case class WarcSplit(path: String, offset: Long, length: Long)
+
+  /** Dataset over explicit split work units — the sub-file parallelism
+    * hook for pathological single-file cases (one ~1 GB file per task
+    * is the Common-Crawl unit and the default [[warcRecords]] shape; a
+    * 100 GB rogue file wants finer units). Offsets need NOT be aligned:
+    * the reader resyncs forward to the next container boundary, so
+    * `(0, L), (L, L), …` byte-range slicing is valid. For
+    * gzip-membered files boundary discovery is exact (member
+    * signatures + deflate framing); for plain files it is the WARC
+    * version-line resync (exact unless a payload line itself starts
+    * with "WARC/"). zstd files are not splittable (no in-band member
+    * index) — schedule them as one `(0, fileLen)` unit. */
+  def warcSplitRecords(spark: SparkSession, splits: Seq[WarcSplit],
+                       maxPayload: Int = DefaultMaxPayload)
+      : Dataset[WarcRecordRow] = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val rdd = spark.sparkContext
+      .parallelize(splits, math.max(1, splits.length))
+    spark.createDataset(rdd).mapPartitions { it =>
+      it.flatMap { sp =>
+        val path = new Path(sp.path)
+        val fs = path.getFileSystem(conf.conf)
+        val in = fs.open(path)
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        val rec = splitRecordIterator(in, sp.offset, sp.length, maxPayload)
+        new Iterator[WarcRecordRow] {
+          override def hasNext: Boolean = {
+            val h = rec.hasNext
+            if (!h) closeOnce()
+            h
+          }
+          override def next(): WarcRecordRow = rec.next()
+        }
+      }
+    }
+  }
+
+  /** [[warcFiles]] over split work units: response records as page rows. */
+  def warcSplitFiles(spark: SparkSession, splits: Seq[WarcSplit],
+                     maxPayload: Int = DefaultMaxPayload): Dataset[PageRow] = {
+    import spark.implicits._
+    warcSplitRecords(spark, splits, maxPayload)
+      .filter(r => r.warc_type == "response" && r.url.nonEmpty)
+      .map(r => PageRow(r.url, r.warc_ts, r.payload, "", ""))
+  }
+
+  /** Iterator over one split of a seekable stream (exposed for tests;
+    * the caller owns `in`). Sniffs the compression magic at position 0,
+    * then seeks to `offset` and resyncs forward. */
+  private[sources] def splitRecordIterator(
+      in: org.apache.hadoop.fs.FSDataInputStream, offset: Long,
+      length: Long, maxPayload: Int): Iterator[WarcRecordRow] = {
+    val end = offset + length
+    if (length <= 0) return Iterator.empty
+    val magic = new Array[Byte](4)
+    val n = try { in.readFully(0L, magic); 4 } catch {
+      case _: EOFException => 0 // file shorter than 4 bytes
+    }
+    def b(i: Int): Int = magic(i) & 0xff
+    val isGzip = n >= 2 && b(0) == 0x1f && b(1) == 0x8b
+    val isZstd = n >= 4 &&
+      ((b(0) == 0x28 && b(1) == 0xb5 && b(2) == 0x2f && b(3) == 0xfd) ||
+        ((b(0) & 0xf0) == 0x50 && b(1) == 0x2a && b(2) == 0x4d && b(3) == 0x18))
+    if (isZstd) {
+      // no in-band member framing to resync on: only the whole-file
+      // unit reads anything; any offset > 0 split is empty by contract
+      if (offset != 0L) return Iterator.empty
+      in.seek(0L)
+      return records(new BufferedInputStream(in, 1 << 16), maxPayload)
+    }
+    in.seek(offset)
+    if (isGzip) {
+      // UNBUFFERED decompressed side: member starts must be
+      // demand-driven so memberStartPos at sync time is the version
+      // line's member (a read-ahead buffer would start future members
+      // early and misattribute units). Header lines cost ~300 small
+      // inflate calls per record; payloads inflate in bulk.
+      // no extra raw buffer: the resync stream reads raw in 64 K chunks
+      val gz = new GzipMemberResyncStream(in,
+        basePos = offset, startAtSignature = offset > 0)
+      splitIterator(gz, maxPayload, end,
+        sync = () =>
+          if (syncToVersionLinePos(gz, () => 0L) < 0) -1L
+          else gz.memberStartPos)
+    } else {
+      // plain: the record itself is the container unit; count consumed
+      // bytes ABOVE the buffer so the parser's position is exact
+      val c = new CountingInputStream(new BufferedInputStream(in, 1 << 16))
+      splitIterator(c, maxPayload, end,
+        sync = () => syncToVersionLinePos(c, () => offset + c.count))
+    }
+  }
+
+  /** The split read loop: `sync` scans to the next version line and
+    * returns its container-unit start (−1 at EOF); units at or past
+    * `endExclusive` belong to the next split. */
+  private def splitIterator(in: InputStream, maxPayload: Int,
+      endExclusive: Long, sync: () => Long): Iterator[WarcRecordRow] =
+    new Iterator[WarcRecordRow] {
+      private var nextRec: WarcRecordRow = null
+      private var done = false
+      private def advance(): Unit = {
+        while (nextRec == null && !done) {
+          val unit = sync()
+          if (unit < 0 || unit >= endExclusive) done = true
+          else nextRec = parseOne(in, maxPayload) // null on malformed → resync
+        }
+      }
+      override def hasNext: Boolean = { advance(); nextRec != null }
+      override def next(): WarcRecordRow = {
+        advance()
+        if (nextRec == null) throw new NoSuchElementException("WARC EOF")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+
+  /** Like [[syncToVersionLine]] but returns the start position of the
+    * matched version line via `pos` (sampled immediately before each
+    * line read); −1 at EOF. */
+  private def syncToVersionLinePos(in: InputStream, pos: () => Long): Long = {
+    var start = pos()
+    var line = readLine(in)
+    while (line != null) {
+      if (line.startsWith("WARC/")) return start
+      start = pos()
+      line = readLine(in)
+    }
+    -1L
+  }
+
+  /** Consumed-byte counter ABOVE buffering — exact parser positions for
+    * plain-file splits. */
+  private final class CountingInputStream(in: InputStream)
+      extends InputStream {
+    var count: Long = 0L
+    override def read(): Int = {
+      val b = in.read()
+      if (b >= 0) count += 1
+      b
+    }
+    override def read(out: Array[Byte], off: Int, len: Int): Int = {
+      val n = in.read(out, off, len)
+      if (n > 0) count += n
+      n
+    }
+  }
+
+  /** Byte-position-tracking sink for building a CDX-style member index
+    * while writing: snapshot `count` before/after each
+    * [[Writer]].record/response call to get that record's (offset,
+    * length) — the split units [[warcSplitRecords]] consumes. */
+  final class CountingOutputStream(out: OutputStream) extends OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+    override def flush(): Unit = out.flush()
+    override def close(): Unit = out.close()
+  }
+
   /** Record-level stats frame (no payload bytes — safe to collect). */
   def warcStats(spark: SparkSession, glob: String,
                 maxPayload: Int = DefaultMaxPayload): DataFrame =

@@ -392,4 +392,60 @@ class WarcSpec extends AnyFunSuite {
     val bad = "ZZ\r\nhello\r\n".getBytes(UTF_8)
     assert(Warc.dechunk(bad).length == 0) // malformed → decoded prefix
   }
+
+  test("sub-file splits: CDX index + arbitrary byte slicing, gz and plain") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toFile
+    dir.deleteOnExit()
+    val n = 60
+    // write both layouts while building a CDX-style (offset, length)
+    // member index through CountingOutputStream
+    val files = Seq(true, false).map { gz =>
+      val name = if (gz) "s.warc.gz" else "s.warc"
+      val f = new java.io.File(dir, name)
+      val out = new Warc.CountingOutputStream(new FileOutputStream(f))
+      val index = (0 until n).map { i =>
+        val before = out.count
+        Warc.Writer.response(out, s"http://sp.test/$i", ts(i),
+          (s"body-$i-" + "y" * (50 + i % 13)).getBytes(UTF_8),
+          chunked = i % 5 == 0, gzipBody = i % 3 == 0, gzipMember = gz)
+        (before, out.count - before)
+      }
+      out.close()
+      (f, index)
+    }
+    for ((f, index) <- files) {
+      val fs = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fileLen = f.length()
+      def readSplit(off: Long, len: Long): List[String] = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(f.getAbsolutePath))
+        try Warc.splitRecordIterator(in, off, len, 10 << 20)
+          .map(_.url).toList
+        finally in.close()
+      }
+      // member-aligned splits from the index: exact per-range contents
+      val mid = index(n / 2)._1
+      val firstHalf = readSplit(0, mid)
+      val secondHalf = readSplit(mid, fileLen - mid)
+      assert(firstHalf == (0 until n / 2).map(i => s"http://sp.test/$i"))
+      assert(secondHalf == (n / 2 until n).map(i => s"http://sp.test/$i"))
+      // arbitrary (unaligned) equal slicing: exhaustive and disjoint
+      for (parts <- Seq(3, 7)) {
+        val step = fileLen / parts + 1
+        val all = (0 until parts).flatMap(p => readSplit(p * step, step))
+        assert(all == (0 until n).map(i => s"http://sp.test/$i"),
+          s"file=${f.getName} parts=$parts")
+      }
+      // an empty tail split yields nothing
+      assert(readSplit(fileLen, 1000) == Nil)
+    }
+    // Dataset-level: two splits of the gz file, one task each
+    val (gzFile, gzIndex) = files.head
+    val cut = gzIndex(20)._1
+    val ds = Warc.warcSplitFiles(spark, Seq(
+      Warc.WarcSplit(gzFile.getAbsolutePath, 0, cut),
+      Warc.WarcSplit(gzFile.getAbsolutePath, cut, gzFile.length() - cut)))
+    assert(ds.count() == n)
+    assert(ds.rdd.getNumPartitions == 2)
+  }
 }
