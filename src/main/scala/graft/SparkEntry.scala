@@ -318,6 +318,15 @@ object SparkEntry {
     }),
 
     // ---- dedup family ---------------------------------------------------
+    // The two remaining rows-only queries (by design, documented): these
+    // emit the APPROXIMATE near-dup pair lists themselves — a DuckDB
+    // row-level oracle would require re-implementing the minhash
+    // permutations / simhash sketch in SQL, i.e. a second copy of the
+    // code under test, proving nothing. Their correctness is gated
+    // driver-visibly instead by x_dedup_recall (pooled recall vs a
+    // DuckDB-recomputed exact-Jaccard twin ≥ 0.9; banded simhash must
+    // EQUAL the exact quadratic pass, twin count pinned) and by the
+    // OpsSpec recall/skew suites.
     "x_minhash_neardups" -> ((s, dir) => {
       Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)
         .orderBy(col("a"), col("b"))

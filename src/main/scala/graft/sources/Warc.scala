@@ -757,12 +757,15 @@ object Warc {
           })
         else out
       val uriLine = if (url.nonEmpty) s"WARC-Target-URI: $url\r\n" else ""
+      // UTF-8 per ISO 28500 (identical bytes for ASCII headers; a
+      // non-ASCII WARC-Target-URI would be '?'-mangled by Latin-1)
       val head =
         (s"WARC/1.0\r\nWARC-Type: $warcType\r\n" + uriLine +
           s"WARC-Date: ${Iso.format(ts)}\r\n" +
           s"WARC-Record-ID: <urn:graft:${warcType}:${url.hashCode}>\r\n" +
           s"Content-Type: $contentType\r\n" +
-          s"Content-Length: ${block.length}\r\n\r\n").getBytes(ISO_8859_1)
+          s"Content-Length: ${block.length}\r\n\r\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
       target.write(head)
       target.write(block)
       target.write("\r\n\r\n".getBytes(ISO_8859_1))

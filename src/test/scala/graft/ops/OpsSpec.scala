@@ -499,6 +499,27 @@ class OpsSpec extends AnyFunSuite {
     val ivfViaIndex = IvfIndex.topKAuto(emb, 3, broadcastBudget = 1024L)
     assert(ivfViaIndex.queryExecution.optimizedPlan.toString.contains("Join"))
     assert(ivfViaIndex.count() > 0)
+
+    // a RAISED budget is honored end to end: the brute kernels assert
+    // against the caller's budget, not the fixed default (a 1 GB budget
+    // on a sub-crossover corpus must not trip the 256 MB default)
+    val raised = Similarity.lshCosineTopK(emb, k = 3,
+      broadcastBudget = 1L << 30)
+    assert(!raised.queryExecution.optimizedPlan.toString.contains("Join"))
+    assert(raised.count() > 0)
+
+    // direct callers are bounded BEFORE the collect materializes the
+    // set on the driver (the pre-collect aggregate guard)
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.bruteCosineTopK(emb, emb, 3, broadcastBudget = 64L)
+        .count()
+    }
+    assert(e1.getMessage.contains("broadcast budget"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.exactCosineNearDups(emb, 0.5, broadcastBudget = 64L)
+        .count()
+    }
+    assert(e2.getMessage.contains("broadcast budget"))
   }
 
   test("query-set ANN search restricts probes to the query subset") {

@@ -49,6 +49,30 @@ class WarcSpec extends AnyFunSuite {
     assert(!r.truncated)
   }
 
+  test("UTF-8 header values decode; bare Latin-1 bytes fall back lossless") {
+    // ISO 28500 allows UTF-8 in header values — a non-ASCII
+    // WARC-Target-URI must survive into the page key, not mojibake
+    val bos = new ByteArrayOutputStream()
+    val url = "https://ex.ample/päge/驚"
+    Warc.Writer.response(bos, url, ts(1), "x".getBytes(UTF_8))
+    val rs = parseAll(bos.toByteArray)
+    assert(rs.head.url == url)
+    // a header line carrying a bare 0xE9 (Latin-1 'é', invalid UTF-8)
+    // decodes through the ISO-8859-1 fallback instead of replacement
+    val raw = new ByteArrayOutputStream()
+    raw.write(("WARC/1.0\r\nWARC-Type: response\r\n").getBytes(UTF_8))
+    raw.write("WARC-Target-URI: <http://l1.test/caf".getBytes(UTF_8))
+    raw.write(0xe9)
+    raw.write(">\r\n".getBytes(UTF_8))
+    raw.write("Content-Type: application/http; msgtype=response\r\n".getBytes(UTF_8))
+    val httpBlock = "HTTP/1.1 200 OK\r\nContent-Length: 1\r\n\r\nz"
+    raw.write(s"Content-Length: ${httpBlock.length}\r\n\r\n".getBytes(UTF_8))
+    raw.write(httpBlock.getBytes(UTF_8))
+    raw.write("\r\n\r\n".getBytes(UTF_8))
+    val lat = parseAll(raw.toByteArray)
+    assert(lat.head.url == "http://l1.test/café")
+  }
+
   test("chunked and gzip-encoded bodies decode to the original bytes") {
     val body = ("abc" * 2000 + "tail").getBytes(UTF_8) // crosses chunk size
     for ((ch, gz) <- Seq((true, false), (false, true), (true, true))) {
