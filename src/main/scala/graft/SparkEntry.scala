@@ -853,6 +853,41 @@ object SparkEntry {
         bit_xor(rowFp).as("fp_xor"),
         sum(length(col("text")).cast("long")).as("total_chars"),
         sum(when(col("status") =!= "FAILED", 1L).otherwise(0L)).as("docs_ok"))
+    }),
+
+    // ---- WET output roundtrip (S9 sink half, constant-oracled) ----------
+    // The deliverable format of a crawl-extraction pipeline: extraction
+    // results written as Common-Crawl WET-style conversion records
+    // (per-record gzip members, one file per partition) and read back
+    // by the WARC reader must reproduce every (url, text) byte-exactly.
+    // total_chars pins against the same corpus constant as
+    // x_extract_md5; the (url, text) xor pins encode→member→decode.
+    // Evaluated eagerly so the temp dir is deleted before returning.
+    "x_wet_roundtrip" -> ((s, _) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_wet_")
+      try {
+        val results = graft.pipeline.ExtractPipeline
+          .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
+        val files = graft.sources.Warc.writeWet(
+          results.select(col("url"), col("warc_ts"), col("text")),
+          s"$base/wet")
+        val back = graft.sources.Warc.warcRecords(s, s"$base/wet/*")
+          .filter(col("warc_type") === "conversion")
+          .select(col("url"), col("payload").cast("string").as("text"))
+        val rowFp = xxhash64(col("url"), md5(col("text")))
+        val r = back.agg(
+          count(lit(1)).as("docs"),
+          bit_xor(rowFp).as("fp_xor"),
+          sum(length(col("text")).cast("long")).as("total_chars")
+        ).as[(Long, Long, Long)].head()
+        Seq((r._1, r._2, r._3, files.length.toLong))
+          .toDF("docs", "fp_xor", "total_chars", "wet_files")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     })
   )
 
@@ -1444,6 +1479,17 @@ object SparkEntry {
         "CAST(-5030084791255098323 AS BIGINT) AS fp_xor, " +
         "CAST(1617883 AS BIGINT) AS total_chars, " +
         "CAST(488 AS BIGINT) AS docs_ok"),
+
+    // WET output roundtrip: extraction text → conversion records
+    // (per-record gzip members, one file per bucket) → WARC reader must
+    // be byte-exact; total_chars pins the same corpus constant as
+    // x_extract_md5, wet_files = the 8 extraction buckets (each
+    // non-empty — the partition-distribution invariant)
+    "x_wet_roundtrip" ->
+      ("SELECT CAST(500 AS BIGINT) AS docs, " +
+        "CAST(1627735188365104399 AS BIGINT) AS fp_xor, " +
+        "CAST(1617883 AS BIGINT) AS total_chars, " +
+        "CAST(8 AS BIGINT) AS wet_files"),
 
     // WARC → kernel seam: the crawl-container roundtrip (WARC encode →
     // warcFiles → ExtractPipeline) must reproduce x_extract_md5's

@@ -43,13 +43,21 @@ object ExtractPipeline {
       lit("").as("text"), col("lang")).as[PageRow]
   }
 
-  /** The typed map stage over salted url-hash buckets. */
+  /** The typed map stage over salted url-hash buckets.
+    *
+    * The repartition key is the RAW salted hash, not `pmod(hash, n)`:
+    * `repartition(n, expr)` re-hashes the expression value to pick the
+    * partition, so a pre-modded key offers only n distinct values to
+    * the partitioner and balls-into-bins empties ~1/e of the partitions
+    * while stacking 2-4 buckets on others (measured: 3 of 8 partitions
+    * empty, worst 191/500 docs). Keying on the full-cardinality hash
+    * makes the partitioner's mod uniform over URLS. */
   def extract(pagesDs: Dataset[PageRow], buckets: Int,
       salt: Int = DefaultSalt): Dataset[ExtractResult] = {
     val spark = pagesDs.sparkSession
     import spark.implicits._
     pruneForShuffle(pagesDs)
-      .repartition(buckets, pmod(hash(col("url"), lit(salt)), lit(buckets)))
+      .repartition(buckets, hash(col("url"), lit(salt)))
       .mapPartitions(_.map(Extractor.extract))
   }
 
@@ -270,8 +278,20 @@ object ExtractPipeline {
 
     val committed: Set[Int] = protocol.committedBuckets(spark, runId)
 
+    // bucket = the PHYSICAL partition the repartition below will pick:
+    // HashPartitioning(expr, n) assigns pmod(murmur3(expr), n), and SQL
+    // hash() IS that murmur3 (seed 42) — so pmod(hash(saltedHash), n)
+    // keeps bucket == partition id (one output file per bucket, the
+    // commit/replay unit co-located in one task). Repartitioning on the
+    // pre-modded bucket instead would re-hash n distinct values into n
+    // partitions: ~1/e of them end up EMPTY and others hold 2-4 buckets
+    // (measured 3-of-8 empty, a 191/500-doc straggler) — a silent
+    // parallelism loss at every scale. NOTE: this mapping is part of
+    // the lineage contract — resume a run only with the version that
+    // started it (bucket ids moved when this fix landed).
+    val saltedHash = hash(col("url"), lit(salt))
     val withBucket = pruneForShuffle(pagesDs)
-      .withColumn("bucket", pmod(hash(col("url"), lit(salt)), lit(buckets)))
+      .withColumn("bucket", pmod(hash(saltedHash), lit(buckets)))
 
     val todo =
       if (committed.isEmpty) withBucket
@@ -281,7 +301,7 @@ object ExtractPipeline {
     spark.sparkContext.register(acc, s"graft.bucketMetrics.$runId")
 
     val wide = todo
-      .repartition(buckets, col("bucket"))
+      .repartition(buckets, saltedHash)
       .as[PageRowWithBucket]
       .mapPartitions { it =>
         it.map { r =>

@@ -520,6 +520,43 @@ object Warc {
     }
   }
 
+  /** Write (url, warc_ts, text) rows as Common-Crawl WET-style files:
+    * one `part-NNNNN.warc.wet.gz` per partition of `conversion`
+    * records, per-record gzip members (the CC on-disk layout — the
+    * output is itself splittable via [[planSplits]] and readable by
+    * [[warcRecords]]). The deliverable format of a crawl-extraction
+    * pipeline: consumers of CC WET files can switch input paths and
+    * read ours. Empty partitions write no file. Returns
+    * (file, records) per written file. */
+  def writeWet(rows: DataFrame, dir: String): Seq[(String, Long)] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    rows
+      .select(col("url"), col("warc_ts"), col("text"))
+      .as[(String, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val path = new Path(f"$dir/part-$pid%05d.warc.wet.gz")
+          val fs = path.getFileSystem(conf.conf)
+          val out = fs.create(path, true)
+          var n = 0L
+          try it.foreach { case (url, ts, text) =>
+            Writer.conversion(out,
+              if (url == null) "" else url,
+              if (ts == null) java.time.Instant.EPOCH else ts.toInstant,
+              (if (text == null) "" else text)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              gzipMember = true)
+            n += 1
+          } finally out.close()
+          Iterator.single((path.toString, n))
+        }
+      }.collect().toSeq.sortBy(_._1)
+  }
+
   /** Iterator over one split of a seekable stream (exposed for tests;
     * the caller owns `in`). Sniffs the compression magic at position 0,
     * then seeks to `offset` and resyncs forward. */
@@ -727,6 +764,12 @@ object Warc {
       record(out, "response", url, ts, "application/http; msgtype=response",
         block, gzipMember)
     }
+
+    /** WET-style `conversion` record (the Common-Crawl extracted-text
+      * format): text/plain body, one record per document. */
+    def conversion(out: OutputStream, url: String, ts: java.time.Instant,
+                   text: Array[Byte], gzipMember: Boolean = false): Unit =
+      record(out, "conversion", url, ts, "text/plain", text, gzipMember)
 
     def request(out: OutputStream, url: String, ts: java.time.Instant,
                 gzipMember: Boolean = false): Unit = {

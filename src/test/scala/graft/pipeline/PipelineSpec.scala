@@ -44,6 +44,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.count(_._4 != "FAILED") > 100)
   }
 
+  test("bucket equals physical partition; no empty partitions") {
+    // the run() shuffle contract: bucket = pmod(hash(saltedHash), n)
+    // must be exactly the partition HashPartitioning picks for the
+    // saltedHash key (one task per bucket, one output file per bucket),
+    // and keying the partitioner on the full-cardinality hash must
+    // leave no partition empty (a pre-modded key loses ~1/e of the
+    // partitions to balls-into-bins and stacks 2-4 buckets on others)
+    import org.apache.spark.sql.functions._
+    val pages = ExtractPipeline.pages(spark, 500, 8).toDF()
+    val sh = hash(col("url"), lit(ExtractPipeline.DefaultSalt))
+    val df = pages.withColumn("bucket", pmod(hash(sh), lit(8)))
+      .repartition(8, sh)
+    val perPartition = df.select(col("bucket")).rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_.getInt(0)).toSet)))
+      .collect()
+    assert(perPartition.forall { case (i, s) => s == Set(i) },
+      perPartition.map { case (i, s) => s"$i->${s.mkString("/")}" }.mkString(","))
+    // extract() (no bucket column) must also fill every partition
+    val sizes = ExtractPipeline.extract(
+        ExtractPipeline.pages(spark, 500, 8), 8).toDF()
+      .rdd.mapPartitionsWithIndex((i, it) => Iterator(it.size)).collect()
+    assert(sizes.forall(_ > 0), sizes.mkString(","))
+  }
+
   test("full run writes output + lineage; rerun is a no-op") {
     val out = tmp() + "/out"
     val lin = tmp() + "/lineage"
