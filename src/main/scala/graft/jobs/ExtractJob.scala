@@ -20,7 +20,7 @@ object ExtractJob {
 
   private val KnownOpts =
     Set("input", "output", "lineage", "run-id", "buckets", "narrow",
-      "warc-split-mb")
+      "warc-split-mb", "wet")
 
   def main(args: Array[String]): Unit = {
     // strict parsing: a dangling or unknown flag must not silently fall
@@ -30,7 +30,7 @@ object ExtractJob {
       System.err.println(
         "usage: ExtractJob --input <parquet|warc:glob|synth:N> --output <dir> " +
           "--lineage <dir> --run-id <id> [--buckets B] [--narrow true] " +
-          "[--warc-split-mb M]")
+          "[--warc-split-mb M] [--wet <dir>]")
       sys.exit(2)
     }
     val opts = args.sliding(2, 2).collect {
@@ -100,17 +100,34 @@ object ExtractJob {
           s"--narrow must be true or false (got '$other'); " +
             "usage: ExtractJob --input <parquet|warc:glob|synth:N> --output <dir> " +
             "--lineage <dir> --run-id <id> [--buckets B] [--narrow true] " +
-          "[--warc-split-mb M]")
+          "[--warc-split-mb M] [--wet <dir>]")
         sys.exit(2)
+    }
+    // --wet <dir>: additionally publish the run's text as Common-Crawl
+    // WET-style conversion records (the format downstream CC-WET
+    // consumers already read). Needs warc_ts → wide output only.
+    val wetDir = opts.get("wet")
+    if (wetDir.isDefined && narrow) {
+      System.err.println("--wet requires the wide output (drop --narrow: " +
+        "WET records carry warc_ts, which narrow mode prunes)")
+      sys.exit(2)
     }
     val summary =
       ExtractPipeline.run(spark, pages, output, lineage, runId, buckets,
         ExtractPipeline.DefaultSalt, narrowOutput = narrow)
+    val wetFiles = wetDir.map { d =>
+      graft.sources.Warc.writeWet(
+        spark.read.parquet(output)
+          .select(org.apache.spark.sql.functions.col("url"),
+            org.apache.spark.sql.functions.col("warc_ts"),
+            org.apache.spark.sql.functions.col("text")), d).length
+    }
     // one summary line for the orchestrator
     println(
       s"""{"run_id":"${summary.runId}","buckets":${summary.bucketsTotal},""" +
         s""""skipped":${summary.bucketsSkipped},"processed":${summary.bucketsProcessed},""" +
-        s""""docs_in":${summary.docsIn},"docs_out":${summary.docsOut}}""")
+        s""""docs_in":${summary.docsIn},"docs_out":${summary.docsOut}""" +
+        wetFiles.map(n => s""","wet_files":$n""").getOrElse("") + "}")
     spark.stop()
   }
 }

@@ -17,17 +17,22 @@ import graft.streaming.StreamingExtract
   * and `dropDuplicates(url, warc_ts)` under the watermark suppresses
   * REDELIVERED records (same url and capture timestamp) within the
   * lateness window — a re-crawl carries a new warc_ts and flows
-  * through, like any fresh capture. New files landing
+  * through, like any fresh capture. `--dedup first-seen` switches to
+  * the stateful unbounded filter (flatMapGroupsWithState): exactly
+  * once per url forever, re-crawls suppressed too, state carried in
+  * the checkpoint across incremental runs. New files landing
   * in --input between runs are picked up next run; nothing is
   * reprocessed.
   */
 object StreamJob {
 
-  private val KnownOpts = Set("input", "output", "checkpoint", "watermark")
+  private val KnownOpts =
+    Set("input", "output", "checkpoint", "watermark", "dedup")
 
   private val Usage =
     "usage: StreamJob --input <pages parquet dir> --output <dir> " +
-      "--checkpoint <dir> [--watermark '10 minutes']"
+      "--checkpoint <dir> [--watermark '10 minutes'] " +
+      "[--dedup watermark|first-seen]"
 
   def main(args: Array[String]): Unit = {
     // strict parsing, same contract as ExtractJob: an unknown flag must
@@ -48,6 +53,17 @@ object StreamJob {
       sys.exit(2)
     }
     val watermark = opts.getOrElse("watermark", "10 minutes")
+    // --dedup first-seen: unbounded exactly-once per url via the
+    // stateful filter (suppresses re-crawls too, state lives in the
+    // checkpoint); default watermark mode suppresses in-window
+    // redeliveries only. Strict like every other flag.
+    val dedup = opts.getOrElse("dedup", "watermark") match {
+      case m @ ("watermark" | "first-seen") => m
+      case other =>
+        System.err.println(
+          s"--dedup must be watermark or first-seen (got '$other'); " + Usage)
+        sys.exit(2)
+    }
 
     val builder = SparkSession.builder()
       .appName("graft-stream-extract")
@@ -57,8 +73,10 @@ object StreamJob {
        else builder.master("local[*]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = StreamingExtract.extract(
-      StreamingExtract.readPages(spark, input.get), watermark)
+    val pagesIn = StreamingExtract.readPages(spark, input.get)
+    val results =
+      if (dedup == "first-seen") StreamingExtract.extractFirstSeen(pagesIn)
+      else StreamingExtract.extract(pagesIn, watermark)
     val query = StreamingExtract
       .writer(results, output.get, checkpoint.get)
       .start()

@@ -53,8 +53,8 @@ object TuneProbe {
         pages.mapPartitions(_.map(graft.pipeline.Extractor.extract)).toDF()
       case "postshuffle" => // extract narrow, shuffle the (smaller) results
         pages.mapPartitions(_.map(graft.pipeline.Extractor.extract)).toDF()
-          .repartition(parts, pmod(hash(col("url"),
-            lit(graft.pipeline.ExtractPipeline.DefaultSalt)), lit(parts)))
+          .repartition(parts, hash(col("url"),
+            lit(graft.pipeline.ExtractPipeline.DefaultSalt)))
     }
     results.agg(count(lit(1)), sum(col("bytes_in")))
       .collect()(0).getLong(0)
