@@ -794,8 +794,10 @@ object Warc {
         if (gzipMember)
           new GZIPOutputStream(new java.io.FilterOutputStream(out) {
             // FilterOutputStream's default 3-arg write loops per byte
+            // (this.out == the ctor arg; qualified to avoid the
+            // inherited-vs-outer shadowing ambiguity)
             override def write(b: Array[Byte], off: Int, len: Int): Unit =
-              out.write(b, off, len)
+              this.out.write(b, off, len)
             override def close(): Unit = flush() // shield `out`
           })
         else out
