@@ -203,7 +203,7 @@ object Warc {
 
   /** Parse one record given that the version line was just consumed.
     * Returns null on malformed structure (caller resyncs). */
-  private def parseOne(in: InputStream, maxPayload: Int): WarcRecordRow = {
+  private[sources] def parseOne(in: InputStream, maxPayload: Int): WarcRecordRow = {
     // -- WARC named fields until the blank line
     var warcType = ""; var uri = ""; var date = ""; var id = ""
     var contentType = ""; var contentLength = -1L
@@ -594,7 +594,8 @@ object Warc {
       splitIterator(gz, maxPayload, end,
         sync = () =>
           if (syncToVersionLinePos(gz, () => 0L) < 0) -1L
-          else gz.memberStartPos)
+          else gz.memberStartPos,
+        unitNow = () => gz.memberStartPos)
     } else {
       // plain: the record itself is the container unit; count consumed
       // bytes ABOVE the buffer so the parser's position is exact
@@ -606,9 +607,13 @@ object Warc {
 
   /** The split read loop: `sync` scans to the next version line and
     * returns its container-unit start (−1 at EOF); units at or past
-    * `endExclusive` belong to the next split. */
+    * `endExclusive` belong to the next split. `unitNow` (gz mode)
+    * reports the container unit currently being decoded, for the
+    * corruption-merge guard below; −1 disables it (plain files, whose
+    * line-position attribution can't cross-claim). */
   private def splitIterator(in: InputStream, maxPayload: Int,
-      endExclusive: Long, sync: () => Long): Iterator[WarcRecordRow] =
+      endExclusive: Long, sync: () => Long,
+      unitNow: () => Long = () => -1L): Iterator[WarcRecordRow] =
     new Iterator[WarcRecordRow] {
       private var nextRec: WarcRecordRow = null
       private var done = false
@@ -616,7 +621,21 @@ object Warc {
         while (nextRec == null && !done) {
           val unit = sync()
           if (unit < 0 || unit >= endExclusive) done = true
-          else nextRec = parseOne(in, maxPayload) // null on malformed → resync
+          else {
+            nextRec = parseOne(in, maxPayload) // null on malformed → resync
+            // corruption-merge guard: a damaged member can abort
+            // mid-record and resync into the NEXT member, whose header
+            // lines then merge into (and take over) the in-flight
+            // parse — the emitted record's bytes actually live in a
+            // later unit. If that unit is at/past the split end, the
+            // record belongs to the NEXT split (which reads its member
+            // from a clean seek): emitting it here would duplicate it
+            // across splits. Within-split merges keep whole-file
+            // semantics (record emitted once, torn predecessor lost).
+            val after = unitNow()
+            if (nextRec != null && after >= endExclusive && after != unit)
+              nextRec = null
+          }
         }
       }
       override def hasNext: Boolean = { advance(); nextRec != null }
@@ -630,7 +649,7 @@ object Warc {
   /** Like [[syncToVersionLine]] but returns the start position of the
     * matched version line via `pos` (sampled immediately before each
     * line read); −1 at EOF. */
-  private def syncToVersionLinePos(in: InputStream, pos: () => Long): Long = {
+  private[sources] def syncToVersionLinePos(in: InputStream, pos: () => Long): Long = {
     var start = pos()
     var line = readLine(in)
     while (line != null) {

@@ -477,5 +477,30 @@ class WarcSpec extends AnyFunSuite {
     assert(planned.count(_.path.endsWith("s.warc.gz")) > 1)
     assert(planned.count(_.path.endsWith("/s.warc")) > 1)
     assert(Warc.warcSplitRecords(spark, planned).count() == 2L * n)
+
+    // corruption inside one member: sliced reads stay exhaustive and
+    // disjoint MINUS the torn record (the resync machinery is shared
+    // with the whole-file reader; a damaged unit must not tear its
+    // neighbours or leak into an adjacent split)
+    val (gzF, gzIdx) = files.head
+    val bytes = java.nio.file.Files.readAllBytes(gzF.toPath)
+    val (vOff, vLen) = gzIdx(30) // damage the 31st member's middle
+    var i = vOff.toInt + vLen.toInt / 2
+    val end = math.min(i + 40, vOff.toInt + vLen.toInt - 9)
+    while (i < end) { bytes(i) = (bytes(i) ^ 0x5a).toByte; i += 3 }
+    val dmg = new java.io.File(dir, "dmg.warc.gz")
+    java.nio.file.Files.write(dmg.toPath, bytes)
+    for (parts <- Seq(1, 4)) {
+      val step = dmg.length() / parts + 1
+      val plan = (0 until parts).map(p =>
+        Warc.WarcSplit(dmg.getAbsolutePath, p * step, step))
+      val urls = Warc.warcSplitRecords(spark, plan)
+        .collect().map(_.url).toSeq
+      assert(urls.distinct.size == urls.size, s"dups at parts=$parts")
+      val missing = (0 until n).map(i2 => s"http://sp.test/$i2")
+        .filterNot(urls.contains)
+      assert(missing.size <= 2, s"lost ${missing.size} at parts=$parts")
+      assert(missing.contains("http://sp.test/30"), s"parts=$parts")
+    }
   }
 }
