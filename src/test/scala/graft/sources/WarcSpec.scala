@@ -488,6 +488,20 @@ class WarcSpec extends AnyFunSuite {
     var i = vOff.toInt + vLen.toInt / 2
     val end = math.min(i + 40, vOff.toInt + vLen.toInt - 9)
     while (i < end) { bytes(i) = (bytes(i) ^ 0x5a).toByte; i += 3 }
+    // zstd: not splittable — the whole-file unit reads everything, any
+    // offset > 0 unit is empty by contract (planSplits slices blindly;
+    // the reader enforces)
+    val zrec = new ByteArrayOutputStream()
+    (0 until 5).foreach(i => Warc.Writer.response(zrec,
+      s"http://z.test/$i", ts(i), s"zz-$i".getBytes(UTF_8)))
+    val zf = new java.io.File(dir, "s.warc.zst")
+    val zo = new FileOutputStream(zf)
+    zo.write(com.github.luben.zstd.Zstd.compress(zrec.toByteArray)); zo.close()
+    val zPlan = Warc.planSplits(spark, zf.getAbsolutePath, 64)
+    assert(zPlan.size > 1) // sliced blindly...
+    val zUrls = Warc.warcSplitRecords(spark, zPlan).collect().map(_.url).toSeq
+    assert(zUrls.sorted == (0 until 5).map(i => s"http://z.test/$i"))
+
     val dmg = new java.io.File(dir, "dmg.warc.gz")
     java.nio.file.Files.write(dmg.toPath, bytes)
     for (parts <- Seq(1, 4)) {
