@@ -10,8 +10,11 @@ import graft.sql.GraftFunctions._
 /** Driver contract — one `queries` entry per implemented operator family
   * (SURVEY.md §2), with a DuckDB-equivalent `oracleSql` for every
   * SQL-expressible operator. Kernel-level operators (HTML/PDF extraction,
-  * MinHash/SimHash/ANN, multimodal) are non-SQL-expressible → rows-only
-  * driver check; their correctness gate is the ScalaTest suite
+  * MinHash/SimHash/ANN, multimodal) that DuckDB cannot recompute are
+  * constant-oracled instead: deterministic aggregates (order-independent
+  * xxhash64-xor + counts/sums) pinned against checked-in values, with
+  * semantic recall gated separately (x_dedup_recall / x_ann_recall).
+  * Everything is additionally gated by the ScalaTest suite
   * (`sbt -batch test`) and the golden-determinism pipeline tests.
   */
 object SparkEntry {
@@ -318,23 +321,30 @@ object SparkEntry {
     }),
 
     // ---- dedup family ---------------------------------------------------
-    // The two remaining rows-only queries (by design, documented): these
-    // emit the APPROXIMATE near-dup pair lists themselves — a DuckDB
-    // row-level oracle would require re-implementing the minhash
-    // permutations / simhash sketch in SQL, i.e. a second copy of the
-    // code under test, proving nothing. Their correctness is gated
-    // driver-visibly instead by x_dedup_recall (pooled recall vs a
+    // The approximate near-dup pair lists can't be RECOMPUTED by DuckDB
+    // (that would mean re-implementing the minhash permutations /
+    // simhash sketch in SQL — a second copy of the code under test), so
+    // they are constant-oracled instead (the x_extract_md5 pattern): an
+    // order-independent xxhash64-xor over the (a, b) pairs plus the
+    // pair count, pinned against checked-in sf0.01 values. SEMANTIC
+    // recall stays gated by x_dedup_recall (pooled recall vs a
     // DuckDB-recomputed exact-Jaccard twin ≥ 0.9; banded simhash must
-    // EQUAL the exact quadratic pass, twin count pinned) and by the
-    // OpsSpec recall/skew suites.
+    // EQUAL the exact quadratic pass) and the OpsSpec recall/skew
+    // suites. Regenerate the constants only with a deliberate
+    // sketch-parameter change (seeds, shingle size, band layout):
+    // `graft.Verify /root/testdata/sf0.01 <out>` and read the values.
     "x_minhash_neardups" -> ((s, dir) => {
       Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)
-        .orderBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("pairs"),
+          coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))
+            .as("pairs_xor"))
     }),
 
     "x_simhash_neardups" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), maxDistance = 10)
-        .orderBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("pairs"),
+          coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))
+            .as("pairs_xor"))
     }),
 
     // ---- similarity / ANN ----------------------------------------------
@@ -1274,6 +1284,20 @@ object SparkEntry {
         "CAST(1 AS BIGINT) AS recall_ok FROM tw " +
         "UNION ALL SELECT 'simhash', CAST(6 AS BIGINT), CAST(1 AS BIGINT)) " +
         "ORDER BY method"),
+
+    // approximate near-dup pair lists, constant-oracled (x_extract_md5
+    // pattern): count + order-independent xxhash64-xor over (a, b),
+    // pinned at the driver's correctness scale (sf0.01). DuckDB cannot
+    // recompute the sketches (that would duplicate the code under
+    // test); SEMANTIC recall is gated by x_dedup_recall above.
+    // Regenerate only with a deliberate sketch-parameter change.
+    "x_minhash_neardups" ->
+      ("SELECT CAST(25 AS BIGINT) AS pairs, " +
+        "CAST(4099790687566794914 AS BIGINT) AS pairs_xor"),
+
+    "x_simhash_neardups" ->
+      ("SELECT CAST(547 AS BIGINT) AS pairs, " +
+        "CAST(306355105488440225 AS BIGINT) AS pairs_xor"),
 
     // expected canonical forms derived independently from the known
     // variant shapes (the Spark side runs the real URI canonicalizer)

@@ -457,10 +457,13 @@ object Similarity {
       return if (queries == null)
         bruteCosineTopKSelf(corpus, k, broadcastBudget, preChecked = true)
       else
-        // queries ⊆ corpus, so the corpus-level routesToBrute bound
-        // covers the query block; skip the extra pre-collect job
+        // `queries` is CALLER-SUPPLIED and nothing enforces the
+        // queries ⊆ corpus shape the routing bound assumed — keep the
+        // pre-collect byte guard on this route (one cheap aggregate
+        // job) so an oversized query frame fails fast instead of
+        // materializing on the driver first
         bruteTopKImpl(corpus, queries, k, self = false, broadcastBudget,
-          preChecked = true)
+          preChecked = false)
     val bits = if (auto) signBitsFor(n) else signBits
     val tbl = if (tables > 0) tables else if (auto) tablesFor(bits)
       else DefaultTables

@@ -25,6 +25,22 @@ object ExtractPipeline {
 
   val DefaultSalt = 0x9e3779b9
 
+  /** Version of the url→bucket assignment, stamped into every lineage
+    * commit row and enforced on resume. History: `bm1` keyed the
+    * repartition on the pre-modded bucket id (the double-hash bug —
+    * ~1/e of partitions empty); `bm2` keys on the full-cardinality
+    * salted hash with bucket := pmod(hash(saltedHash), n). Bucket ids
+    * MOVED between the two, so a run started under one version cannot
+    * be resumed under the other — `run()` fails fast instead of
+    * silently skipping wrong buckets and overwriting reused ids. Bump
+    * this whenever the mapping expression, salt semantics, or
+    * murmur3 seed change. */
+  val BucketMappingVersion = "bm2"
+
+  /** What pre-stamp lineage rows (no `bucket_mapping` column) report —
+    * they were written by `bm1`-era builds. */
+  val LegacyBucketMapping = "bm1-legacy"
+
   /** Deterministic synthetic pages (FIXTURES.md) as a typed Dataset;
     * generated independently per row — parallelizes with no shuffle. */
   def pages(spark: SparkSession, n: Long, partitions: Int): Dataset[PageRow] = {
@@ -106,6 +122,17 @@ object ExtractPipeline {
       * partitions from other runs can never be attributed to this
       * run's lineage). */
     def trustAccumulatorLineage: Boolean = true
+    /** Distinct `bucket_mapping` stamps on `runId`'s existing lineage
+      * rows. `run()` fails fast when any differs from
+      * [[BucketMappingVersion]]: the url→bucket assignment changed
+      * across builds, so resuming would silently skip the WRONG buckets
+      * and dynamic-overwrite other-mapping files for reused bucket ids
+      * — lost and duplicated docs with no error. Rows from before the
+      * stamp existed must report [[LegacyBucketMapping]]; protocols
+      * that cannot read their lineage back return Set.empty (check
+      * skipped — weaker, documented). */
+    def lineageMappingVersions(spark: SparkSession, runId: String)
+        : Set[String] = Set.empty
     /** Written results as a DataFrame (lineage fallback source when
       * [[trustAccumulatorLineage]] is false); None when unsupported. */
     def readBackResults(spark: SparkSession): Option[DataFrame] = None
@@ -139,9 +166,31 @@ object ExtractPipeline {
     }
     def appendLineage(lineage: DataFrame): Unit =
       lineage.write.mode(SaveMode.Append).parquet(lineageDir)
+    override def lineageMappingVersions(spark: SparkSession, runId: String)
+        : Set[String] = {
+      import spark.implicits._
+      if (!lineageExists(spark, lineageDir)) Set.empty
+      else {
+        val df = spark.read.parquet(lineageDir).filter($"run_id" === runId)
+        mappingVersionsOf(df)
+      }
+    }
     override def readBackResults(spark: SparkSession): Option[DataFrame] =
       if (lineageExists(spark, outDir)) Some(spark.read.parquet(outDir))
       else None
+  }
+
+  /** Shared reader for the `bucket_mapping` stamp: rows predating the
+    * stamp (column absent — including a parquet footer-schema read that
+    * landed on a pre-stamp file) report [[LegacyBucketMapping]], which
+    * correctly FAILS a resume across the mapping change. */
+  private def mappingVersionsOf(runLineage: DataFrame): Set[String] = {
+    if (runLineage.isEmpty) Set.empty
+    else if (!runLineage.columns.contains("bucket_mapping"))
+      Set(LegacyBucketMapping)
+    else runLineage.select(col("bucket_mapping")).distinct()
+      .collect().map(r => Option(r.getString(0))
+        .getOrElse(LegacyBucketMapping)).toSet
   }
 
   /** Iceberg-catalog implementation (north rule: "per-partition
@@ -201,6 +250,13 @@ object ExtractPipeline {
       * the lineage accumulator, so this sink derives lineage from the
       * committed snapshot instead. */
     override def trustAccumulatorLineage: Boolean = false
+    override def lineageMappingVersions(spark: SparkSession, runId: String)
+        : Set[String] = {
+      import spark.implicits._
+      if (!spark.catalog.tableExists(lineageTable)) Set.empty
+      else mappingVersionsOf(
+        spark.table(lineageTable).filter($"run_id" === runId))
+    }
     override def readBackResults(spark: SparkSession): Option[DataFrame] =
       if (spark.catalog.tableExists(resultsTable))
         Some(spark.table(resultsTable))
@@ -277,6 +333,22 @@ object ExtractPipeline {
     import spark.implicits._
 
     val committed: Set[Int] = protocol.committedBuckets(spark, runId)
+
+    // resume safety: lineage committed under a DIFFERENT url→bucket
+    // mapping makes `committed` meaningless — the same bucket id names
+    // different urls across versions, so filtering by it would skip the
+    // wrong documents and dynamic-overwrite other-mapping files for
+    // reused ids (silent loss + duplication). Fail fast instead.
+    if (committed.nonEmpty) {
+      val foreign =
+        protocol.lineageMappingVersions(spark, runId) - BucketMappingVersion
+      require(foreign.isEmpty,
+        s"run_id '$runId' has lineage committed under bucket-mapping " +
+          s"version(s) ${foreign.mkString(", ")}, but this build maps " +
+          s"urls with $BucketMappingVersion — resuming would skip the " +
+          "wrong buckets. Finish the run with the original build, or " +
+          "start a fresh run_id (reprocessing from scratch).")
+    }
 
     // bucket = the PHYSICAL partition the repartition below will pick:
     // HashPartitioning(expr, n) assigns pmod(murmur3(expr), n), and SQL
@@ -379,6 +451,9 @@ object ExtractPipeline {
       }
     val lineage = metrics.toDF("run_id", "partition_id", "input_fingerprint",
       "docs_in", "docs_out", "bytes", "extractor_version")
+      // the url→bucket mapping these partition_ids were computed under —
+      // resume refuses lineage stamped with a different version
+      .withColumn("bucket_mapping", lit(BucketMappingVersion))
 
     protocol.appendLineage(lineage)
 

@@ -462,8 +462,11 @@ object Warc {
     * gzip-membered files boundary discovery is exact (member
     * signatures + deflate framing); for plain files it is the WARC
     * version-line resync (exact unless a payload line itself starts
-    * with "WARC/"). zstd files are not splittable (no in-band member
-    * index) — schedule them as one `(0, fileLen)` unit. */
+    * with "WARC/"). zstd files are splittable when written by
+    * [[Writer.zstdMember]] (in-band [[ZstdMarkerSig]] skippable-frame
+    * markers); LEGACY zstd files without markers are not — schedule
+    * those as one `(0, fileLen)` unit (offset > 0 units read nothing
+    * by contract). */
   def warcSplitRecords(spark: SparkSession, splits: Seq[WarcSplit],
                        maxPayload: Int = DefaultMaxPayload)
       : Dataset[WarcRecordRow] = {
@@ -507,9 +510,10 @@ object Warc {
     * for [[warcSplitRecords]]. 10^5 well-formed ~1 GB Common-Crawl
     * files plan as one unit each (identical to [[warcFiles]]); a rogue
     * 100 GB file becomes ~100 concurrent units instead of one 100 GB
-    * task. zstd files scheduled in pieces read everything in their
-    * first unit and nothing in the rest (not splittable — see
-    * [[splitRecordIterator]]): correct, just not parallel. */
+    * task. Marker-framed zstd files ([[Writer.zstdMember]]) split like
+    * gzip; LEGACY zstd files scheduled in pieces read everything in
+    * their first unit and nothing in the rest (no in-band resync point
+    * — see [[splitRecordIterator]]): correct, just not parallel. */
   def planSplits(spark: SparkSession, glob: String, splitBytes: Long)
       : Seq[WarcSplit] = {
     require(splitBytes > 0, s"splitBytes must be positive (got $splitBytes)")
@@ -522,39 +526,207 @@ object Warc {
 
   /** Write (url, warc_ts, text) rows as Common-Crawl WET-style files:
     * one `part-NNNNN.warc.wet.gz` per partition of `conversion`
-    * records, per-record gzip members (the CC on-disk layout — the
-    * output is itself splittable via [[planSplits]] and readable by
-    * [[warcRecords]]). The deliverable format of a crawl-extraction
-    * pipeline: consumers of CC WET files can switch input paths and
-    * read ours. Empty partitions write no file. Returns
+    * records, per-record gzip members (the CC on-disk layout), or with
+    * `codec = "zstd"` one `.warc.wet.zst` of marker-framed zstd members
+    * ([[Writer.zstdMember]]). Either way the output is splittable via
+    * [[planSplits]] and readable by [[warcRecords]]. The deliverable
+    * format of a crawl-extraction pipeline: consumers of CC WET files
+    * can switch input paths and read ours. Empty partitions write no
+    * file; each partition commits via attempt-unique temp + rename
+    * ([[writeWetPartition]] — speculation-safe). Returns
     * (file, records) per written file. */
-  def writeWet(rows: DataFrame, dir: String): Seq[(String, Long)] = {
+  def writeWet(rows: DataFrame, dir: String,
+               codec: String = "gzip"): Seq[(String, Long)] = {
+    require(codec == "gzip" || codec == "zstd",
+      s"unsupported WET codec '$codec' (gzip | zstd)")
     val spark = rows.sparkSession
     import spark.implicits._
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
-    rows
+    val written = rows
       .select(col("url"), col("warc_ts"), col("text"))
       .as[(String, java.sql.Timestamp, String)]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val path = new Path(f"$dir/part-$pid%05d.warc.wet.gz")
-          val fs = path.getFileSystem(conf.conf)
-          val out = fs.create(path, true)
-          var n = 0L
-          try it.foreach { case (url, ts, text) =>
-            Writer.conversion(out,
-              if (url == null) "" else url,
-              if (ts == null) java.time.Instant.EPOCH else ts.toInstant,
-              (if (text == null) "" else text)
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8),
-              gzipMember = true)
-            n += 1
-          } finally out.close()
-          Iterator.single((path.toString, n))
+          val ctx = org.apache.spark.TaskContext.get()
+          val pid = if (ctx != null) ctx.partitionId() else 0
+          // attempt-unique scratch name: a speculative duplicate and
+          // the original can NEVER share a write target
+          val attemptUid =
+            if (ctx != null) s"a${ctx.taskAttemptId()}"
+            else java.util.UUID.randomUUID().toString
+          Iterator.single(
+            writeWetPartition(it, dir, pid, attemptUid, conf.conf, codec))
         }
       }.collect().toSeq.sortBy(_._1)
+    // best-effort sweep of the attempt scratch dir (loser temps are
+    // deleted at commit time; this clears temps from attempts killed
+    // mid-write). A straggling speculative attempt writing after this
+    // sweep leaves only scratch under _wet_tmp — never a final file.
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir, WetTmpDir), true)
+    written
+  }
+
+  private[sources] val WetTmpDir = "_wet_tmp"
+
+  /** One task attempt's WET partition write with commit discipline
+    * (the r6 version wrote the FINAL path directly with overwrite=true,
+    * so a speculative duplicate attempt — which §4 recommends enabling
+    * — could interleave two streams into one corrupt file): stream the
+    * records to an attempt-unique temp under `_wet_tmp/`, then commit
+    * by rename. Rename is atomic per attempt (HDFS: first committer
+    * wins, loser's rename returns false; POSIX local fs: whole-file
+    * atomic replace) — either way the final `part-NNNNN.warc.wet.gz`
+    * is always exactly one attempt's complete output, and a failed or
+    * losing attempt deletes its temp and leaves no partial final file.
+    */
+  private[sources] def writeWetPartition(
+      it: Iterator[(String, java.sql.Timestamp, String)], dir: String,
+      pid: Int, attemptUid: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      codec: String = "gzip"): (String, Long) = {
+    val ext = if (codec == "zstd") "zst" else "gz"
+    val fin = new Path(f"$dir/part-$pid%05d.warc.wet.$ext")
+    val tmp = new Path(
+      f"$dir/$WetTmpDir/part-$pid%05d-$attemptUid.warc.wet.$ext")
+    val fs = fin.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    var n = 0L
+    var ok = false
+    try {
+      it.foreach { case (url, ts, text) =>
+        val u = if (url == null) "" else url
+        val when = if (ts == null) java.time.Instant.EPOCH else ts.toInstant
+        val body = (if (text == null) "" else text)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (codec == "zstd") {
+          val raw = new ByteArrayOutputStream(body.length + 256)
+          Writer.conversion(raw, u, when, body, gzipMember = false)
+          Writer.zstdMember(out, raw.toByteArray)
+        } else {
+          Writer.conversion(out, u, when, body, gzipMember = true)
+        }
+        n += 1
+      }
+      ok = true
+    } finally {
+      out.close()
+      if (!ok) fs.delete(tmp, false)
+    }
+    if (!fs.rename(tmp, fin)) {
+      // loser of a speculative race (dest already committed) — or a
+      // genuinely failed commit, which must fail the task
+      fs.delete(tmp, false)
+      if (!fs.exists(fin))
+        throw new java.io.IOException(s"WET commit failed for $fin")
+    }
+    (fin.toString, n)
+  }
+
+  /** Signature of the zstd split marker: a skippable frame (RFC 8878
+    * §3.1.2, LE magic 0x184D2A5E, LE32 size 8) whose payload starts
+    * with "GZS1" — 12 fixed bytes a reader can scan for byte-at-a-time
+    * from any offset. The remaining 4 payload bytes carry the LE32
+    * compressed length of the data frame that follows, so a resynced
+    * reader slices frames exactly without a streaming decoder.
+    * Decoders that don't know the convention (including our own
+    * whole-file path: ZstdInputStream in continuous mode) skip
+    * skippable frames transparently, so framed files stay ordinary
+    * multi-frame zstd. */
+  private[sources] val ZstdMarkerSig: Array[Byte] = Array[Byte](
+    0x5e, 0x2a, 0x4d, 0x18, // skippable-frame magic 0x184D2A5E (LE)
+    0x08, 0x00, 0x00, 0x00, // frame size: 8-byte payload
+    'G', 'Z', 'S', '1')
+
+  /** Hard cap on a marker's declared data-frame length: a corrupted
+    * length field must not turn into a multi-GB allocation. Generous —
+    * one record block compresses well under this. */
+  private[sources] val ZstdFrameCap: Int = 1 << 30
+
+  /** Split read over a marker-framed zstd file: scan from `offset` for
+    * the next [[ZstdMarkerSig]], slice the declared data frame, inflate
+    * and parse it. The marker START is the container-unit position —
+    * same ownership convention as gzip members (units starting in
+    * [offset, end) belong to this split), so arbitrary slicing stays
+    * exhaustive and disjoint. A frame that fails to inflate or parse is
+    * skipped (costs its own records only), matching the gz resync
+    * behavior. */
+  private def zstdFramedIterator(in: org.apache.hadoop.fs.FSDataInputStream,
+      offset: Long, end: Long, maxPayload: Int): Iterator[WarcRecordRow] = {
+    in.seek(offset)
+    val c = new CountingInputStream(new BufferedInputStream(in, 1 << 16))
+    val sig = ZstdMarkerSig
+    new Iterator[WarcRecordRow] {
+      private var pending: Iterator[WarcRecordRow] = Iterator.empty
+      private var done = false
+
+      /** Scan to the next full signature; absolute start pos or -1. */
+      private def scanMarker(): Long = {
+        var matched = 0
+        while (matched < sig.length) {
+          val x = c.read()
+          if (x < 0) return -1L
+          if (x.toByte == sig(matched)) matched += 1
+          else matched = if (x.toByte == sig(0)) 1 else 0
+        }
+        offset + c.count - sig.length
+      }
+
+      private def readLE32(): Long = {
+        val b = new Array[Byte](4)
+        var got = 0
+        while (got < 4) {
+          val r = c.read(b, got, 4 - got)
+          if (r < 0) return -1L
+          got += r
+        }
+        (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) |
+          ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24)
+      }
+
+      private def advance(): Unit = {
+        while (!pending.hasNext && !done) {
+          val markerStart = scanMarker()
+          if (markerStart < 0 || markerStart >= end) { done = true }
+          else {
+            val len = readLE32()
+            if (len < 0) done = true
+            else if (len == 0 || len > ZstdFrameCap) () // corrupt; rescan
+            else {
+              val frame = new Array[Byte](len.toInt)
+              var got = 0
+              var eof = false
+              while (!eof && got < frame.length) {
+                val r = c.read(frame, got, frame.length - got)
+                if (r < 0) eof = true else got += r
+              }
+              if (eof) done = true // truncated tail frame
+              else {
+                try {
+                  val size = com.github.luben.zstd.Zstd
+                    .getFrameContentSize(frame)
+                  if (size > 0 && size <= maxPayload + (1L << 16)) {
+                    val raw = com.github.luben.zstd.Zstd
+                      .decompress(frame, size.toInt)
+                    pending = records(
+                      new ByteArrayInputStream(raw), maxPayload)
+                  } // unknown/oversized content size: skip this frame
+                } catch {
+                  case _: Exception => () // torn frame: costs itself only
+                }
+              }
+            }
+          }
+        }
+      }
+      override def hasNext: Boolean = { advance(); pending.hasNext }
+      override def next(): WarcRecordRow = {
+        advance()
+        if (!pending.hasNext) throw new NoSuchElementException("WARC EOF")
+        pending.next()
+      }
+    }
   }
 
   /** Iterator over one split of a seekable stream (exposed for tests;
@@ -575,8 +747,20 @@ object Warc {
       ((b(0) == 0x28 && b(1) == 0xb5 && b(2) == 0x2f && b(3) == 0xfd) ||
         ((b(0) & 0xf0) == 0x50 && b(1) == 0x2a && b(2) == 0x4d && b(3) == 0x18))
     if (isZstd) {
-      // no in-band member framing to resync on: only the whole-file
-      // unit reads anything; any offset > 0 split is empty by contract
+      // splittable IFF the writer framed it: files produced by
+      // [[Writer.zstdMember]] start with a marker skippable frame
+      // (RFC 8878 §3.1.2 magic 0x184D2A5E + "GZS1" payload) before
+      // every record's data frame, giving the reader an in-band,
+      // validated resync point. Legacy zstd files (no markers) keep
+      // the whole-file contract: the 0-offset unit reads everything,
+      // any offset > 0 unit is empty.
+      val head = new Array[Byte](ZstdMarkerSig.length)
+      val hn = try { in.readFully(0L, head); head.length } catch {
+        case _: EOFException => 0
+      }
+      val framed = hn == head.length &&
+        java.util.Arrays.equals(head, ZstdMarkerSig)
+      if (framed) return zstdFramedIterator(in, offset, end, maxPayload)
       if (offset != 0L) return Iterator.empty
       in.seek(0L)
       return records(new BufferedInputStream(in, 1 << 16), maxPayload)
@@ -820,7 +1004,13 @@ object Warc {
             override def close(): Unit = flush() // shield `out`
           })
         else out
-      val uriLine = if (url.nonEmpty) s"WARC-Target-URI: $url\r\n" else ""
+      // crawl-derived URLs are untrusted: a raw CR/LF (or any C0
+      // control) in the value would terminate the header line early and
+      // let the remainder inject fake headers / corrupt record framing
+      // in the emitted file — percent-encode them, as reference WARC
+      // writers do (ISO 28500 URIs exclude control characters)
+      val safeUrl = encodeHeaderValue(url)
+      val uriLine = if (safeUrl.nonEmpty) s"WARC-Target-URI: $safeUrl\r\n" else ""
       // UTF-8 per ISO 28500 (identical bytes for ASCII headers; a
       // non-ASCII WARC-Target-URI would be '?'-mangled by Latin-1)
       val head =
@@ -836,6 +1026,49 @@ object Warc {
       target match {
         case gz: GZIPOutputStream => gz.close()
         case _ => ()
+      }
+    }
+
+    /** Write `rawRecord` (one or more UNCOMPRESSED WARC records) as a
+      * splittable zstd member: the [[ZstdMarkerSig]] skippable frame
+      * (with the data frame's compressed length in its payload), then
+      * one zstd data frame. Concatenated members are a legal multi-
+      * frame zstd stream — standard decoders (and our whole-file
+      * reader) skip the markers transparently; [[splitRecordIterator]]
+      * resyncs on them, making `.warc.zst` splittable the way
+      * member-per-record `.warc.gz` is. */
+    def zstdMember(out: OutputStream, rawRecord: Array[Byte],
+                   level: Int = 3): Unit = {
+      val frame = com.github.luben.zstd.Zstd.compress(rawRecord, level)
+      require(frame.length <= ZstdFrameCap,
+        s"zstd member frame ${frame.length} B exceeds cap $ZstdFrameCap B")
+      out.write(ZstdMarkerSig)
+      val len = frame.length
+      out.write(len & 0xff); out.write((len >>> 8) & 0xff)
+      out.write((len >>> 16) & 0xff); out.write((len >>> 24) & 0xff)
+      out.write(frame)
+    }
+
+    /** Percent-encode C0 controls + DEL in a header value so no
+      * crawl-derived string can break WARC record framing. Identity on
+      * well-formed URLs (which contain no control characters). */
+    private[sources] def encodeHeaderValue(v: String): String = {
+      if (v == null) return ""
+      var i = 0
+      var clean = true
+      while (clean && i < v.length) {
+        val c = v.charAt(i)
+        if (c < 0x20 || c == 0x7f) clean = false
+        i += 1
+      }
+      if (clean) v
+      else {
+        val sb = new StringBuilder(v.length + 8)
+        v.foreach { c =>
+          if (c < 0x20 || c == 0x7f) sb ++= f"%%${c.toInt}%02X"
+          else sb += c
+        }
+        sb.toString
       }
     }
 

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.concurrent.duration.FiniteDuration
+
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.model.PageRow
@@ -10,24 +12,56 @@ import graft.model.PageRow
   * idempotency claim (`processor.py:213-244` NX read-or-lock), where
   * watermarked `dropDuplicates` only covers the watermark window.
   *
-  * State per url is one boolean (seen) — tiny; at scale the state store
-  * shards by the url key and lives in the checkpoint. Optional TTL via
-  * ProcessingTimeTimeout mirrors the reference's idempotency-cache TTL
-  * (config.py:73, 3600 s).
+  * State per url is one long (the claim's processing-time ms) — tiny; at
+  * scale the state store shards by the url key and lives in the
+  * checkpoint. The optional `ttl` mirrors the reference's
+  * idempotency-cache TTL (`config.py:73`, 3600 s): a claim expires `ttl`
+  * after it was FIRST made (duplicates do not extend it, like Redis SET
+  * NX EX), the expired key is removed from the store, and the url is
+  * re-admitted — bounding state at 10^12 urls to the crawl's working
+  * set. Default (`ttl = None`) keeps the unbounded exactly-once
+  * behavior.
+  *
+  * Engine note: with a TTL set, Spark schedules micro-batches
+  * CONTINUOUSLY to fire due timers
+  * (`FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is
+  * unconditionally true under ProcessingTimeTimeout) — so
+  * `processAllAvailable()` never returns on such a query; poll the sink
+  * or use a bounded `awaitTermination`.
   */
 object StatefulDedup {
 
-  def firstSeen(pages: Dataset[PageRow]): Dataset[PageRow] = {
+  def firstSeen(pages: Dataset[PageRow],
+                ttl: Option[FiniteDuration] = None): Dataset[PageRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
+    val timeoutConf = ttl match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None => GroupStateTimeout.NoTimeout
+    }
     pages
       .groupByKey(_.url)
-      .flatMapGroupsWithState[Boolean, PageRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[PageRow], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
-          else {
-            state.update(true)
+      .flatMapGroupsWithState[Long, PageRow](OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[PageRow], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // claim expired: drop the state so the next arrival of this
+            // url is treated as first-seen again
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            // duplicate within the claim window. Spark cancels a
+            // pending timeout whenever the function is invoked for the
+            // key, so re-arm it for the REMAINDER of the original
+            // claim — the duplicate must not extend the TTL.
+            ttl.foreach { d =>
+              val remaining =
+                state.get + d.toMillis - state.getCurrentProcessingTimeMs()
+              state.setTimeoutDuration(math.max(1L, remaining))
+            }
+            Iterator.empty
+          } else {
+            state.update(state.getCurrentProcessingTimeMs())
+            ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
             rows.take(1) // first occurrence within this batch wins too
           }
       }

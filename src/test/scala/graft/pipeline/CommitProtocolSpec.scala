@@ -47,6 +47,13 @@ class CommitProtocolSpec extends AnyFunSuite {
         .foreach { case (b, rows) => store(b) = rows } // replace, not append
     }
     def appendLineage(l: DataFrame): Unit = lineage ++= l.collect()
+    override def lineageMappingVersions(spark: SparkSession, runId: String)
+        : Set[String] =
+      lineage.filter(_.getAs[String]("run_id") == runId).map { r =>
+        if (r.schema.fieldNames.contains("bucket_mapping"))
+          r.getAs[String]("bucket_mapping")
+        else ExtractPipeline.LegacyBucketMapping
+      }.toSet
   }
 
   private def inMemoryHarness(): Harness = new Harness {
@@ -73,6 +80,8 @@ class CommitProtocolSpec extends AnyFunSuite {
         def writeResults(results: DataFrame): Unit =
           current.writeResults(results)
         def appendLineage(l: DataFrame): Unit = current.appendLineage(l)
+        override def lineageMappingVersions(s: SparkSession, runId: String)
+            : Set[String] = current.lineageMappingVersions(s, runId)
       }
     def resetLineage(): Unit = gen += 1
     def outCount(): Long = spark.read.parquet(base + "/out").count()
@@ -186,5 +195,51 @@ class CommitProtocolSpec extends AnyFunSuite {
     val p = new ExtractPipeline.IcebergCommitProtocol(
       "nosuch.results_table", "nosuch.lineage_table")
     assert(p.committedBuckets(spark, "runZ").isEmpty)
+    assert(p.lineageMappingVersions(spark, "runZ").isEmpty)
+  }
+
+  test("resume refuses lineage from a different bucket mapping") {
+    import org.apache.spark.sql.functions._
+    val pages = ExtractPipeline.pages(spark, 60, 2)
+
+    // a) foreign stamp: lineage rows carry an older mapping version
+    val baseA = Files.createTempDirectory("graft-proto-bm").toString
+    val pA = new ExtractPipeline.ParquetCommitProtocol(
+      baseA + "/out", baseA + "/lin")
+    ExtractPipeline.run(spark, pages, pA, "runM", 4,
+      ExtractPipeline.DefaultSalt)
+    assert(pA.lineageMappingVersions(spark, "runM") ==
+      Set(ExtractPipeline.BucketMappingVersion))
+    spark.read.parquet(baseA + "/lin")
+      .withColumn("run_id", lit("runOld"))
+      .withColumn("bucket_mapping", lit("bm1"))
+      .write.mode("append").parquet(baseA + "/lin")
+    val eA = intercept[IllegalArgumentException] {
+      ExtractPipeline.run(spark, pages, pA, "runOld", 4,
+        ExtractPipeline.DefaultSalt)
+    }
+    assert(eA.getMessage.contains("bucket-mapping"))
+
+    // b) pre-stamp lineage (column absent entirely) reports the legacy
+    // version and refuses too
+    val baseB = Files.createTempDirectory("graft-proto-bm2").toString
+    val pB = new ExtractPipeline.ParquetCommitProtocol(
+      baseB + "/out", baseB + "/lin")
+    spark.read.parquet(baseA + "/lin")
+      .filter(col("run_id") === "runM")
+      .drop("bucket_mapping")
+      .write.parquet(baseB + "/lin")
+    assert(pB.lineageMappingVersions(spark, "runM") ==
+      Set(ExtractPipeline.LegacyBucketMapping))
+    val eB = intercept[IllegalArgumentException] {
+      ExtractPipeline.run(spark, pages, pB, "runM", 4,
+        ExtractPipeline.DefaultSalt)
+    }
+    assert(eB.getMessage.contains(ExtractPipeline.LegacyBucketMapping))
+
+    // c) same-version resume is still the exactly-once no-op
+    val s = ExtractPipeline.run(spark, pages, pA, "runM", 4,
+      ExtractPipeline.DefaultSalt)
+    assert(s.bucketsSkipped == 4 && s.bucketsProcessed == 0)
   }
 }

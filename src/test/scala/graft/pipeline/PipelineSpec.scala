@@ -174,7 +174,10 @@ class PipelineSpec extends AnyFunSuite {
     ExtractPipeline.run(spark, pages, base + "/o", base + "/l", "runM", 4)
     val lineage = spark.read.parquet(base + "/l")
     assert(lineage.columns.toSet == Set("run_id", "partition_id",
-      "input_fingerprint", "docs_in", "docs_out", "bytes", "extractor_version"))
+      "input_fingerprint", "docs_in", "docs_out", "bytes",
+      "extractor_version", "bucket_mapping"))
+    assert(lineage.select("bucket_mapping").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq(ExtractPipeline.BucketMappingVersion))
     import spark.implicits._
     val total = lineage.agg(org.apache.spark.sql.functions.sum("docs_in"))
       .as[Long].collect()(0)

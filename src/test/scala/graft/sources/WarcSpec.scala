@@ -517,4 +517,144 @@ class WarcSpec extends AnyFunSuite {
       assert(missing.contains("http://sp.test/30"), s"parts=$parts")
     }
   }
+
+  test("marker-framed zstd splits: exhaustive + disjoint, any slicing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsplit_")
+      .toFile
+    val n = 64
+    val zf = new java.io.File(dir, "f.warc.zst")
+    val fo = new FileOutputStream(zf)
+    (0 until n).foreach { i =>
+      val raw = new ByteArrayOutputStream()
+      Warc.Writer.response(raw, s"http://zs.test/$i", ts(i),
+        (s"payload-$i " * 30).getBytes(UTF_8))
+      Warc.Writer.zstdMember(fo, raw.toByteArray)
+    }
+    fo.close()
+
+    // whole-file path: ZstdInputStream continuous mode skips the
+    // marker skippable frames transparently — framed files stay
+    // ordinary multi-frame zstd for non-split readers
+    val whole = parseAll(java.nio.file.Files.readAllBytes(zf.toPath))
+    assert(whole.map(_.url) == (0 until n).map(i => s"http://zs.test/$i"))
+
+    // arbitrary byte slicing through the Spark split reader must stay
+    // exhaustive and disjoint — the gzip-member split contract, now on
+    // zstd (units = marker starts in [off, off+len))
+    for (parts <- Seq(2, 5, 16, 64)) {
+      val step = zf.length() / parts + 1
+      val plan = (0 until parts).map(p =>
+        Warc.WarcSplit(zf.getAbsolutePath, p * step, step))
+      val urls = Warc.warcSplitRecords(spark, plan).collect().map(_.url).toSeq
+      assert(urls.sorted == (0 until n).map(i => s"http://zs.test/$i").sorted,
+        s"parts=$parts")
+    }
+    // planSplits front-end fans it into multiple units
+    val planned = Warc.planSplits(spark, zf.getAbsolutePath, 2048)
+    assert(planned.size > 1)
+    assert(Warc.warcSplitRecords(spark, planned).count() == n)
+
+    // corruption inside one data frame costs exactly that record; the
+    // slicing stays exhaustive+disjoint for the survivors
+    val bytes = java.nio.file.Files.readAllBytes(zf.toPath)
+    // find the 31st marker, damage the middle of its data frame
+    var found = 0; var pos = -1
+    var i = 0
+    while (found <= 30 && i < bytes.length - 11) {
+      if (bytes(i) == 0x5e.toByte && bytes(i + 1) == 0x2a.toByte &&
+          bytes(i + 2) == 0x4d.toByte && bytes(i + 3) == 0x18.toByte) {
+        found += 1; pos = i
+      }
+      i += 1
+    }
+    assert(found == 31)
+    // damage the data-frame HEADER (starts at marker+16): a corrupt
+    // frame descriptor fails deterministically, whereas a mid-frame
+    // literal flip can decode "cleanly" to wrong bytes (no content
+    // checksum by default) — the reader must skip the frame either way,
+    // but the spec pins the deterministic path
+    (pos + 16 until pos + 24).foreach(j =>
+      bytes(j) = (bytes(j) ^ 0x5a).toByte)
+    val dmg = new java.io.File(dir, "dmg.warc.zst")
+    java.nio.file.Files.write(dmg.toPath, bytes)
+    for (parts <- Seq(1, 4)) {
+      val step = dmg.length() / parts + 1
+      val plan = (0 until parts).map(p =>
+        Warc.WarcSplit(dmg.getAbsolutePath, p * step, step))
+      val urls = Warc.warcSplitRecords(spark, plan).collect().map(_.url).toSeq
+      assert(urls.distinct.size == urls.size, s"dups at parts=$parts")
+      val missing = (0 until n).map(i2 => s"http://zs.test/$i2")
+        .filterNot(urls.contains)
+      assert(missing == Seq("http://zs.test/30"), s"parts=$parts: $missing")
+    }
+  }
+
+  test("WET zstd codec: splittable output, same records") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wetz_")
+      .toString
+    val rows = (0 until 120).map(i =>
+      (s"http://wz.test/$i", java.sql.Timestamp.from(ts(i)), s"doc $i body"))
+      .toDF("url", "warc_ts", "text").repartition(3)
+    val files = Warc.writeWet(rows, dir, codec = "zstd")
+    assert(files.map(_._2).sum == 120)
+    assert(files.forall(_._1.endsWith(".warc.wet.zst")))
+    val back = Warc.warcRecords(spark, dir + "/*.warc.wet.zst")
+    assert(back.count() == 120)
+    // and the output splits: 1 KB slicing reads every record once
+    val plan = Warc.planSplits(spark, dir + "/*.warc.wet.zst", 1024)
+    assert(plan.size > files.size)
+    val urls = Warc.warcSplitRecords(spark, plan).collect().map(_.url).toSeq
+    assert(urls.sorted == (0 until 120).map(i => s"http://wz.test/$i").sorted)
+  }
+
+  test("WET commit survives concurrent speculative attempts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wet_spec_")
+      .toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    def rows = (0 until 200).iterator.map(i =>
+      (s"http://wet.test/$i", java.sql.Timestamp.from(ts(i)), s"text-$i " * 20))
+    // two attempts of the SAME partition racing (the speculation
+    // scenario): each streams to its attempt-unique temp, commit is a
+    // rename — the final file must be exactly one attempt's complete
+    // output, never an interleaving
+    val t1 = new Thread(() =>
+      Warc.writeWetPartition(rows, dir, 7, "attempt1", conf))
+    val t2 = new Thread(() =>
+      Warc.writeWetPartition(rows, dir, 7, "attempt2", conf))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val fin = new java.io.File(dir, "part-00007.warc.wet.gz")
+    assert(fin.exists())
+    val recs = parseAll(java.nio.file.Files.readAllBytes(fin.toPath))
+    assert(recs.length == 200)
+    assert(recs.map(_.url) == (0 until 200).map(i => s"http://wet.test/$i"))
+
+    // a failing attempt leaves neither a final file nor its temp
+    val bad = Iterator.tabulate(10) { i =>
+      if (i == 5) throw new RuntimeException("mid-write crash")
+      (s"http://wet.test/$i", java.sql.Timestamp.from(ts(i)), "t")
+    }
+    intercept[RuntimeException] {
+      Warc.writeWetPartition(bad, dir, 9, "attempt1", conf)
+    }
+    assert(!new java.io.File(dir, "part-00009.warc.wet.gz").exists())
+    val tmpDir = new java.io.File(dir, Warc.WetTmpDir)
+    assert(!tmpDir.exists() ||
+      tmpDir.listFiles().forall(!_.getName.startsWith("part-00009")))
+  }
+
+  test("control characters in a crawl URL cannot break record framing") {
+    val bos = new ByteArrayOutputStream()
+    val evil = "http://a.test/x\r\nWARC-Type: injected\r\nX-Fake: 1"
+    Warc.Writer.response(bos, evil, ts(1), "body".getBytes(UTF_8))
+    Warc.Writer.response(bos, "http://a.test/y", ts(2), "b2".getBytes(UTF_8))
+    val rs = parseAll(bos.toByteArray)
+    assert(rs.length == 2) // framing intact
+    assert(rs.head.warc_type == "response") // no injected type
+    assert(rs.head.url == "http://a.test/x%0D%0AWARC-Type: injected%0D%0AX-Fake: 1")
+    assert(rs(1).url == "http://a.test/y")
+    // identity on well-formed URLs
+    assert(Warc.Writer.encodeHeaderValue("http://a.test/p?q=1&r=%20") ==
+      "http://a.test/p?q=1&r=%20")
+  }
 }

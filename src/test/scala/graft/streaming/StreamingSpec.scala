@@ -75,6 +75,90 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
   }
 
+  // NOTE: the TTL tests CANNOT use processAllAvailable():
+  // FlatMapGroupsWithStateExec.shouldRunAnotherBatch is unconditionally
+  // true under ProcessingTimeTimeout (the engine keeps scheduling
+  // batches to fire timers), so noNewData is never set and
+  // processAllAvailable blocks forever. They poll the memory sink with
+  // a deadline instead — the continuously-running batches both drain
+  // new data and fire due timeouts on their own.
+  private def awaitSinkCount(table: String, n: Long,
+      timeoutMs: Long = 60000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (spark.sql(s"SELECT 1 FROM $table").count() < n) {
+      if (System.nanoTime() > deadline)
+        fail(s"timed out waiting for $n rows in $table " +
+          s"(have ${spark.sql(s"SELECT 1 FROM $table").count()})")
+      Thread.sleep(50)
+    }
+  }
+
+  test("first-seen TTL: an expired claim re-admits its url") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.concurrent.duration._
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[graft.model.PageRow]
+    val deduped = StatefulDedup.firstSeen(source.toDS(), ttl = Some(2.seconds))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ttl_out").start()
+    // t≈0: url 0 claims
+    source.addData(ExtractPipelineRows.row(0L))
+    awaitSinkCount("dedup_ttl_out", 1)
+    val t0 = System.nanoTime()
+    def sleepUntil(ms: Long): Unit = {
+      val left = ms - (System.nanoTime() - t0) / 1000000L
+      if (left > 0) Thread.sleep(left)
+    }
+    // well inside the claim: the duplicate must drop
+    source.addData(ExtractPipelineRows.row(0L))
+    sleepUntil(1000)
+    assert(spark.sql("SELECT url FROM dedup_ttl_out").count() == 1)
+    // past expiry the engine's own timeout batch removed the state —
+    // the next arrival of url 0 is first-seen again
+    sleepUntil(3000)
+    source.addData(ExtractPipelineRows.row(0L))
+    awaitSinkCount("dedup_ttl_out", 2)
+    val urls = spark.sql("SELECT url FROM dedup_ttl_out").as[String].collect()
+    assert(urls.toSeq == Seq.fill(2)(ExtractPipelineRows.row(0L).url))
+    q.stop()
+  }
+
+  test("first-seen TTL: duplicates do not extend the claim") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import scala.concurrent.duration._
+    implicit val sq = spark.sqlContext
+    val source = MemoryStream[graft.model.PageRow]
+    val deduped = StatefulDedup.firstSeen(source.toDS(), ttl = Some(3.seconds))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_ttl2_out").start()
+    // t≈0: url 0 claims (real expiry ≈ t+3.0s)
+    source.addData(ExtractPipelineRows.row(0L))
+    awaitSinkCount("dedup_ttl2_out", 1)
+    val t0 = System.nanoTime()
+    def sleepUntil(ms: Long): Unit = {
+      val left = ms - (System.nanoTime() - t0) / 1000000L
+      if (left > 0) Thread.sleep(left)
+    }
+    // t≈1.5s: duplicate — a naive implementation RESETS the timeout
+    // here (expiry would move to ≈4.5s); ours re-arms only the
+    // REMAINDER of the original claim (expiry stays ≈3.0s)
+    sleepUntil(1500)
+    source.addData(ExtractPipelineRows.row(0L))
+    // t≈3.8s: past the original expiry (timer fired, state removed)
+    // but BEFORE the naive duplicate-extended expiry — url 0 must be
+    // re-admitted; under extended semantics it would still be claimed
+    // and the sink would stay at 1 row (awaitSinkCount times out)
+    sleepUntil(3800)
+    source.addData(ExtractPipelineRows.row(0L))
+    awaitSinkCount("dedup_ttl2_out", 2, timeoutMs = 20000L)
+    val urls = spark.sql("SELECT url FROM dedup_ttl2_out").as[String].collect()
+    assert(urls.count(_ == ExtractPipelineRows.row(0L).url) == 2,
+      s"duplicate extended the claim (rows=${urls.toSeq})")
+    q.stop()
+  }
+
   test("windowed metrics aggregate docs per event-time window") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-stream2").toString
