@@ -810,24 +810,37 @@ object Bench {
     val dir = new java.io.File("BENCH")
     dir.mkdirs()
     // Demotion guard: the committed baseline should carry the machine's
-    // capability, not its worst mood. When THIS run's own calibration
-    // loops (pure-ALU scaling / buffer-copy scaling) read >5% below the
-    // committed run's, the epoch was contended — the honest record still
-    // gets written, but to BASELINE.candidate.md; promoting it over the
-    // committed baseline becomes a deliberate act, not a side effect of
-    // a validation run on a throttled evening.
-    val committed = readCommittedCeilings()
-    val throttled = committed.exists { case (alu0, mem0) =>
+    // capability, not its worst mood. A run is demoted to
+    // BASELINE.candidate.md — promotion over the committed baseline
+    // becomes a deliberate diff, not a side effect of a validation run —
+    // when EITHER (a) its own calibration loops (pure-ALU / buffer-copy
+    // scaling) read >5% below the committed run's (contended epoch), or
+    // (b) its headline efficiency is below the committed run's (a weaker
+    // result never silently replaces a stronger one; without this, a
+    // calm-ceilinged mediocre run could first overwrite the baseline and
+    // then serve as the weakened yardstick that demotes a better run —
+    // exactly the sequence observed on 2026-08-18).
+    val committed = readCommittedStamp()
+    val throttled = committed.exists { case (alu0, mem0, _) =>
       ceiling < alu0 * 0.95 || memCeil < mem0 * 0.95
     }
+    val weaker = committed.exists { case (_, _, eff0) =>
+      !eff0.isNaN && eff < eff0
+    }
     val target =
-      if (throttled) "BENCH/BASELINE.candidate.md" else "BENCH/BASELINE.md"
-    if (throttled) {
-      val (alu0, mem0) = committed.get
-      System.err.println(
-        f"[bench] run ceilings alu=$ceiling%.3f mem=$memCeil%.3f are >5%% " +
-          f"below committed alu=$alu0%.3f mem=$mem0%.3f — throttled epoch; " +
-          "writing BENCH/BASELINE.candidate.md (committed baseline kept)")
+      if (throttled || weaker) "BENCH/BASELINE.candidate.md"
+      else "BENCH/BASELINE.md"
+    committed.foreach { case (alu0, mem0, eff0) =>
+      if (throttled)
+        System.err.println(
+          f"[bench] run ceilings alu=$ceiling%.3f mem=$memCeil%.3f are " +
+            f">5%% below committed alu=$alu0%.3f mem=$mem0%.3f — throttled " +
+            "epoch; writing BENCH/BASELINE.candidate.md (committed kept)")
+      else if (weaker)
+        System.err.println(
+          f"[bench] run efficiency $eff%.3f < committed $eff0%.3f — " +
+            "writing BENCH/BASELINE.candidate.md (committed kept; promote " +
+            "deliberately if this run should become the baseline)")
     }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(target),
       md.toString)
@@ -838,20 +851,30 @@ object Bench {
     * `<!-- ceilings: ... -->` stamp; older baselines are parsed from
     * their calibration prose. None = no baseline yet (first run wins).
     */
-  private def readCommittedCeilings(): Option[(Double, Double)] = {
+  /** (alu, mem, eff) from the baseline's machine-readable stamp; eff is
+    * NaN for pre-stamp baselines (prose fallback). */
+  private def readCommittedStamp(): Option[(Double, Double, Double)] = {
     val p = java.nio.file.Paths.get("BENCH/BASELINE.md")
     if (!java.nio.file.Files.exists(p)) return None
     val text = java.nio.file.Files.readString(p)
     val stamp =
-      """<!-- ceilings: alu=([0-9.]+) mem=([0-9.]+)""".r
+      """<!-- ceilings: alu=([0-9.]+) mem=([0-9.]+)(?: eff=([0-9.]+))?""".r
         .findFirstMatchIn(text)
+    val proseEff =
+      """Scaling efficiency N→4N: \*{0,2}([0-9.]+)""".r
+        .findFirstMatchIn(text)
+        .orElse("""Scaling efficiency N→4N: ([0-9.]+)""".r
+          .findFirstMatchIn(text))
+        .map(_.group(1).toDouble).getOrElse(Double.NaN)
     val prose = for {
       alu <- """pure-ALU no-allocation thread loop scales\s+at ([0-9.]+)""".r
         .findFirstMatchIn(text.replace('\n', ' '))
       mem <- """scales at ([0-9.]+) \(16 threads""".r
         .findFirstMatchIn(text.replace('\n', ' '))
-    } yield (alu.group(1).toDouble, mem.group(1).toDouble)
-    stamp.map(m => (m.group(1).toDouble, m.group(2).toDouble)).orElse(prose)
+    } yield (alu.group(1).toDouble, mem.group(1).toDouble, proseEff)
+    stamp.map(m => (m.group(1).toDouble, m.group(2).toDouble,
+      Option(m.group(3)).map(_.toDouble).getOrElse(Double.NaN)))
+      .orElse(prose)
   }
 }
 

@@ -20,7 +20,7 @@ object ExtractJob {
 
   private val KnownOpts =
     Set("input", "output", "lineage", "run-id", "buckets", "narrow",
-      "warc-split-mb", "wet")
+      "warc-split-mb", "wet", "cdx")
 
   def main(args: Array[String]): Unit = {
     // strict parsing: a dangling or unknown flag must not silently fall
@@ -30,7 +30,7 @@ object ExtractJob {
       System.err.println(
         "usage: ExtractJob --input <parquet|warc:glob|synth:N> --output <dir> " +
           "--lineage <dir> --run-id <id> [--buckets B] [--narrow true] " +
-          "[--warc-split-mb M] [--wet <dir>]")
+          "[--warc-split-mb M] [--wet <dir>] [--cdx true]")
       sys.exit(2)
     }
     val opts = args.sliding(2, 2).collect {
@@ -112,6 +112,22 @@ object ExtractJob {
         "WET records carry warc_ts, which narrow mode prunes)")
       sys.exit(2)
     }
+    // --cdx true: also write one CDX sidecar per WET part file (the
+    // Common-Crawl index layout — urlkey, ts14, exact byte extents for
+    // wayback-style random access)
+    val cdx = opts.get("cdx") match {
+      case None => false
+      case Some("true") => true
+      case Some("false") => false
+      case Some(other) =>
+        System.err.println(s"--cdx must be true or false (got '$other')")
+        sys.exit(2)
+    }
+    if (cdx && wetDir.isEmpty) {
+      System.err.println("--cdx true requires --wet <dir> (the sidecars " +
+        "index the WET output)")
+      sys.exit(2)
+    }
     val summary =
       ExtractPipeline.run(spark, pages, output, lineage, runId, buckets,
         ExtractPipeline.DefaultSalt, narrowOutput = narrow)
@@ -120,7 +136,8 @@ object ExtractJob {
         spark.read.parquet(output)
           .select(org.apache.spark.sql.functions.col("url"),
             org.apache.spark.sql.functions.col("warc_ts"),
-            org.apache.spark.sql.functions.col("text")), d).length
+            org.apache.spark.sql.functions.col("text")), d,
+        cdx = cdx).length
     }
     // one summary line for the orchestrator
     println(

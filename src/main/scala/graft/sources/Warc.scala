@@ -536,7 +536,8 @@ object Warc {
     * ([[writeWetPartition]] — speculation-safe). Returns
     * (file, records) per written file. */
   def writeWet(rows: DataFrame, dir: String,
-               codec: String = "gzip"): Seq[(String, Long)] = {
+               codec: String = "gzip",
+               cdx: Boolean = false): Seq[(String, Long)] = {
     require(codec == "gzip" || codec == "zstd",
       s"unsupported WET codec '$codec' (gzip | zstd)")
     val spark = rows.sparkSession
@@ -556,7 +557,8 @@ object Warc {
             if (ctx != null) s"a${ctx.taskAttemptId()}"
             else java.util.UUID.randomUUID().toString
           Iterator.single(
-            writeWetPartition(it, dir, pid, attemptUid, conf.conf, codec))
+            writeWetPartition(it, dir, pid, attemptUid, conf.conf, codec,
+              cdx))
         }
       }.collect().toSeq.sortBy(_._1)
     // best-effort sweep of the attempt scratch dir (loser temps are
@@ -585,13 +587,21 @@ object Warc {
       it: Iterator[(String, java.sql.Timestamp, String)], dir: String,
       pid: Int, attemptUid: String,
       conf: org.apache.hadoop.conf.Configuration,
-      codec: String = "gzip"): (String, Long) = {
+      codec: String = "gzip",
+      cdx: Boolean = false): (String, Long) = {
     val ext = if (codec == "zstd") "zst" else "gz"
-    val fin = new Path(f"$dir/part-$pid%05d.warc.wet.$ext")
+    val finName = f"part-$pid%05d.warc.wet.$ext"
+    val fin = new Path(s"$dir/$finName")
     val tmp = new Path(
       f"$dir/$WetTmpDir/part-$pid%05d-$attemptUid.warc.wet.$ext")
     val fs = fin.getFileSystem(conf)
-    val out = fs.create(tmp, true)
+    val ctmp = new Path(
+      f"$dir/$WetTmpDir/part-$pid%05d-$attemptUid.cdx.gz")
+    val out = new CountingOutputStream(fs.create(tmp, true))
+    // the sidecar streams to its own temp alongside the data (an
+    // in-memory line buffer would be O(partition) at crawl scale)
+    val cout = if (cdx)
+      new java.util.zip.GZIPOutputStream(fs.create(ctmp, true)) else null
     var n = 0L
     var ok = false
     try {
@@ -600,6 +610,7 @@ object Warc {
         val when = if (ts == null) java.time.Instant.EPOCH else ts.toInstant
         val body = (if (text == null) "" else text)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val off = out.count
         if (codec == "zstd") {
           val raw = new ByteArrayOutputStream(body.length + 256)
           Writer.conversion(raw, u, when, body, gzipMember = false)
@@ -607,21 +618,141 @@ object Warc {
         } else {
           Writer.conversion(out, u, when, body, gzipMember = true)
         }
+        if (cdx) cout.write(cdxLine(u, when, off, out.count - off, finName)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         n += 1
       }
       ok = true
     } finally {
       out.close()
-      if (!ok) fs.delete(tmp, false)
+      if (cout != null) cout.close()
+      if (!ok) { fs.delete(tmp, false); if (cdx) fs.delete(ctmp, false) }
     }
     if (!fs.rename(tmp, fin)) {
       // loser of a speculative race (dest already committed) — or a
       // genuinely failed commit, which must fail the task
       fs.delete(tmp, false)
+      if (cdx) fs.delete(ctmp, false)
       if (!fs.exists(fin))
         throw new java.io.IOException(s"WET commit failed for $fin")
+      (fin.toString, n)
+    } else {
+      // data committed by THIS attempt: commit the CDX sidecar too.
+      // The sidecar is advisory (readers must work without it), and
+      // per-record compression is deterministic — every attempt of this
+      // partition writes byte-identical data AND index — so the worst
+      // interleaving (one attempt's data file + another's sidecar, or a
+      // crash between the two renames) still leaves a correct pair or a
+      // data file whose index is absent, never a wrong offset.
+      if (cdx && !fs.rename(ctmp, cfinPath(dir, pid)))
+        fs.delete(ctmp, false)
+      (fin.toString, n)
     }
-    (fin.toString, n)
+  }
+
+  private def cfinPath(dir: String, pid: Int): Path =
+    new Path(f"$dir/part-$pid%05d.cdx.gz")
+
+  private val Ts14 = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMddHHmmss").withZone(java.time.ZoneOffset.UTC)
+
+  /** One CDXJ-style index line: `urlkey ts14 {json}` (the Common-Crawl
+    * index layout — searchable key, 14-digit UTC timestamp, JSON blob
+    * with the capture's byte extent). urlkey uses the pipeline's url
+    * canonicalizer rather than full SURT form — documented
+    * simplification; the json `url` field carries the exact original. */
+  private[sources] def cdxLine(url: String, ts: java.time.Instant,
+      offset: Long, length: Long, filename: String): String = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+    val key = graft.ops.UrlDedup.canonicalize(url)
+    s"${esc(key).replace(" ", "%20")} ${Ts14.format(ts)} " +
+      s"""{"url":"${esc(url)}","offset":"$offset","length":"$length",""" +
+      s""""filename":"${esc(filename)}"}""" + "\n"
+  }
+
+  /** Parse CDX sidecars (written by [[writeWet]] with `cdx = true`)
+    * into (urlkey, ts14, url, offset, length, filename, cdx_file) — all
+    * native expressions over `spark.read.text` (gzip text decodes
+    * transparently), no driver-side work, so the index of a 10^12-record
+    * crawl reads with full scan parallelism. */
+  def cdxEntries(spark: SparkSession, glob: String): DataFrame = {
+    val line = trim(col("value"))
+    val json = expr("substring(value, instr(value, '{'))")
+    spark.read.text(glob)
+      .withColumn("cdx_file", input_file_name())
+      .filter(length(line) > 0)
+      .select(
+        split_part(line, lit(" "), lit(1)).as("urlkey"),
+        split_part(line, lit(" "), lit(2)).as("ts14"),
+        from_json(json, org.apache.spark.sql.types.StructType.fromDDL(
+          "url STRING, offset STRING, length STRING, filename STRING"))
+          .as("j"),
+        col("cdx_file"))
+      .select(col("urlkey"), col("ts14"), col("j.url").as("url"),
+        col("j.offset").cast("long").as("offset"),
+        col("j.length").cast("long").as("length"),
+        col("j.filename").as("filename"), col("cdx_file"))
+  }
+
+  /** Random-access record fetch through a CDX index — the wayback-style
+    * consumer contract: for each index entry, seek to `offset` in the
+    * named data file, read EXACTLY `length` bytes, decode that one
+    * compression unit, parse the one record inside. No resync scanning
+    * anywhere, so a wrong offset or length fails loudly (truncated unit)
+    * instead of being silently repaired — this is what makes the CDX
+    * roundtrip a sharp oracle. Entries are fetched with full executor
+    * parallelism grouped by data file (one open per file per task,
+    * entries read in offset order — sequential I/O on the common path).
+    */
+  def readCdxRecords(spark: SparkSession, cdxGlob: String,
+                     maxPayload: Int = DefaultMaxPayload): DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val entries = cdxEntries(spark, cdxGlob)
+      .select(col("cdx_file"), col("filename"), col("offset"), col("length"))
+      .as[(String, String, Long, Long)]
+    entries
+      .repartition(col("filename"))
+      .sortWithinPartitions(col("filename"), col("offset"))
+      .mapPartitions { it =>
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        var open: (String, org.apache.hadoop.fs.FSDataInputStream) = null
+        def closeOpen(): Unit =
+          if (open != null) { open._2.close(); open = null }
+        val ctx = org.apache.spark.TaskContext.get()
+        if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => closeOpen())
+        val out = it.flatMap { case (cdxFile, dataName, off, len) =>
+          // the data file sits next to its sidecar
+          val dataPath = new Path(new Path(cdxFile).getParent, dataName)
+          if (fs == null) fs = dataPath.getFileSystem(conf.conf)
+          if (open == null || open._1 != dataPath.toString) {
+            closeOpen()
+            open = (dataPath.toString, fs.open(dataPath))
+          }
+          require(len > 0 && len <= ZstdFrameCap,
+            s"CDX length $len out of range for $dataName@$off")
+          val slice = new Array[Byte](len.toInt)
+          open._2.readFully(off, slice, 0, len.toInt)
+          val rec = records(new java.io.ByteArrayInputStream(slice),
+            maxPayload)
+          if (!rec.hasNext)
+            throw new java.io.IOException(
+              s"CDX slice $dataName@$off+$len holds no record")
+          Iterator.single(rec.next())
+        }
+        new Iterator[WarcRecordRow] {
+          override def hasNext: Boolean = {
+            val h = out.hasNext; if (!h) closeOpen(); h
+          }
+          override def next(): WarcRecordRow = out.next()
+        }
+      }.toDF()
   }
 
   /** Signature of the zstd split marker: a skippable frame (RFC 8878

@@ -643,6 +643,102 @@ class WarcSpec extends AnyFunSuite {
       tmpDir.listFiles().forall(!_.getName.startsWith("part-00009")))
   }
 
+  test("CDX sidecar: random-access reads reproduce the full scan, gz and zstd") {
+    import spark.implicits._
+    for (codec <- Seq("gzip", "zstd")) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cdx_")
+        .toString
+      val rows = (0 until 150).map(i =>
+        (s"http://cdx.test/$i?b=2&a=1", java.sql.Timestamp.from(ts(i)),
+          s"body $i " * (1 + i % 7)))
+        .toDF("url", "warc_ts", "text").repartition(3)
+      val files = Warc.writeWet(rows, dir, codec = codec, cdx = true)
+      val ext = if (codec == "zstd") "zst" else "gz"
+
+      // one sidecar per data file; entries parse with native expressions
+      val entries = Warc.cdxEntries(spark, s"$dir/*.cdx.gz")
+      assert(entries.select("cdx_file").distinct.count() == files.size)
+      assert(entries.count() == 150)
+      val e0 = entries.orderBy("offset").limit(1)
+        .select("urlkey", "ts14", "url", "offset").head()
+      assert(e0.getString(2).startsWith("http://cdx.test/"))
+      assert(e0.getString(0).contains("?a=1&b=2")) // canonical key: sorted params
+      assert(e0.getString(1).matches("\\d{14}"))
+
+      // entries tile each data file exactly: contiguous, start 0, end EOF
+      entries.select("filename", "offset", "length")
+        .collect().groupBy(_.getString(0)).foreach { case (fn, es) =>
+          val sorted = es.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+          assert(sorted.head._1 == 0L)
+          sorted.sliding(2).foreach {
+            case Array((o1, l1), (o2, _)) => assert(o1 + l1 == o2)
+            case _ =>
+          }
+          val len = new java.io.File(new java.io.File(dir), fn).length()
+          assert(sorted.last._1 + sorted.last._2 == len, s"$fn tiling")
+        }
+
+      // the wayback-consumer contract: exact-slice reads == full scan
+      val viaCdx = Warc.readCdxRecords(spark, s"$dir/*.cdx.gz")
+        .select("url", "payload").collect()
+        .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), UTF_8)))
+        .sortBy(_._1)
+      val viaScan = Warc.warcRecords(spark, s"$dir/*.warc.wet.$ext")
+        .select("url", "payload").collect()
+        .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1), UTF_8)))
+        .sortBy(_._1)
+      assert(viaCdx.length == 150)
+      assert(viaCdx.toSeq == viaScan.toSeq, s"codec=$codec")
+    }
+  }
+
+  test("CDX random access fails loudly on a wrong offset (no silent resync)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxbad_")
+      .toString
+    val rows = (0 until 10).map(i =>
+      (s"http://cb.test/$i", java.sql.Timestamp.from(ts(i)), s"b $i"))
+      .toDF("url", "warc_ts", "text").coalesce(1)
+    Warc.writeWet(rows, dir, cdx = true)
+    // shift every offset by one byte: the slice no longer starts at a
+    // gzip member, so the strict slice decode must throw, not repair
+    val good = Warc.cdxEntries(spark, s"$dir/*.cdx.gz").collect()
+    val bad = new java.io.File(dir, "part-00000.cdx.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      new FileOutputStream(bad))
+    good.foreach { r =>
+      out.write(Warc.cdxLine(r.getString(2),
+        Instant.ofEpochSecond(1500000000L), r.getLong(3) + 1, r.getLong(4),
+        r.getString(5)).getBytes(UTF_8))
+    }
+    out.close()
+    // drop the local-FS checksum sidecar so the read reaches the strict
+    // slice decode (otherwise Hadoop's CRC catches the rewrite first and
+    // the offset-validation path is never exercised)
+    new java.io.File(dir, ".part-00000.cdx.gz.crc").delete()
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.readCdxRecords(spark, s"$dir/*.cdx.gz").count()
+    }
+    assert(e.getMessage != null)
+    assert(org.apache.commons.lang3.exception.ExceptionUtils
+      .getRootCauseMessage(e).toLowerCase.matches(
+        ".*(holds no record|eof|end of|checksum|unexpected).*"),
+      s"unexpected failure mode: ${ExceptionUtilsRoot(e)}")
+  }
+
+  private def ExceptionUtilsRoot(e: Throwable): String =
+    org.apache.commons.lang3.exception.ExceptionUtils.getRootCauseMessage(e)
+
+  test("cdxLine escapes quotes, backslashes and control bytes") {
+    val l = Warc.cdxLine("http://e.test/\"q\"\\x", Instant.ofEpochSecond(0),
+      5L, 7L, "f.warc.wet.gz")
+    assert(l.endsWith("\n"))
+    assert(l.contains("\\\"q\\\"") && l.contains("\\\\x"))
+    assert(l.contains(" 19700101000000 "))
+    // key space-escaped so the 3-field line splits stably
+    assert(!l.split(" \\{").head.split(" ").exists(_.isEmpty))
+  }
+
   test("control characters in a crawl URL cannot break record framing") {
     val bos = new ByteArrayOutputStream()
     val evil = "http://a.test/x\r\nWARC-Type: injected\r\nX-Fake: 1"
