@@ -346,7 +346,11 @@ object Bench {
     // ones, and best-of/median across rounds summarize. At least 3
     // rounds always run (the loop's floor); more while the cumulative
     // in-round time stays under the budget (420 s ≈ 3 ABAB rounds).
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "420").toInt
+    // 480: with the clean-bracket skip a calm round costs ~110-130 s, so
+    // this buys a 4th round (median over 4 beats 3 against the
+    // multi-minute throttle episodes) while keeping the whole run inside
+    // the wall the driver has tolerated since round 5
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "480").toInt
     var minFull4N = Double.MaxValue
     var minHalf4N = Double.MaxValue
     var minFullN = Double.MaxValue
@@ -363,7 +367,17 @@ object Bench {
     def steadyRate(larger: Double, smaller: Double, largerDocs: Long,
         deltaDocs: Long): Double = {
       val dt = larger - smaller
-      if (dt > 0.05 * larger) deltaDocs / dt else largerDocs / larger
+      // degeneracy guard: with (larger, smaller) = (2n, n) windows a
+      // clean pair has Δt ≈ half the larger wall (minus the fixed cost).
+      // When a throttle episode slows the SMALLER window toward the
+      // larger one, Δt collapses and min-subtraction amplifies the noise
+      // into absurd rates (observed: Δt = 1.02 s over a 20 s window →
+      // 234k docs/s, 7.7 "efficiency" — which a median would ingest).
+      // Δt below a quarter of the larger wall means the pair is
+      // incoherent: fall back to the raw larger-window rate, which is
+      // biased slightly LOW by the fixed per-job cost but can never
+      // explode. (The old 5% threshold only caught exact-zero cases.)
+      if (dt > 0.25 * larger) deltaDocs / dt else largerDocs / larger
     }
     def steadyRateN(l: Double, s: Double): Double =
       steadyRate(l, s, nPages, nPages - nPages / 2)
@@ -402,10 +416,31 @@ object Bench {
         wide = wideOk)
       val (b1f, b1h) = timeExtractionPair(nCores, nPages, pagesInput,
         wide = false)
-      val (a2f, a2h) = timeExtractionPair(cores4N, nPages, pagesInput,
-        wide = wideOk)
-      val (b2f, b2h) = timeExtractionPair(nCores, nPages, pagesInput,
-        wide = false)
+      // The second bracket at each level runs only when the first looks
+      // burst-touched: its full leg >10% off the best this run has seen
+      // at that level, or its full/half ratio outside the clean-run
+      // window (~1.78 with the fixed per-job cost; a burst in either
+      // leg skews min-subtraction, so both legs must look coherent).
+      // A clean first pair makes the duplicate bracket cost, not
+      // information — skipping it fits a 4th-5th round into the same
+      // budget, and MORE ROUNDS are the defense that works against the
+      // multi-minute throttle episodes this VM actually has (per-leg
+      // minima only dodge short bursts). Round 0 always runs both
+      // brackets (no prior best to judge cleanliness against). The
+      // criterion is symmetric across levels, and skipping is
+      // conservative for the headline: a slow first pair always gets
+      // its second chance, a fast one never gets faster.
+      def clean(full: Double, half: Double, bestFull: Double): Boolean = {
+        val ratio = full / math.max(half, 0.01)
+        round > 0 && full <= bestFull * 1.10 &&
+          ratio >= 1.6 && ratio <= 2.2
+      }
+      val (a2f, a2h) =
+        if (clean(a1f, a1h, math.min(minFull4N, a1f))) (a1f, a1h)
+        else timeExtractionPair(cores4N, nPages, pagesInput, wide = wideOk)
+      val (b2f, b2h) =
+        if (clean(b1f, b1h, math.min(minFullN, b1f))) (b1f, b1h)
+        else timeExtractionPair(nCores, nPages, pagesInput, wide = false)
       val af = math.min(a1f, a2f)
       val ah = math.min(a1h, a2h)
       val bf = math.min(b1f, b2f)
@@ -684,15 +719,20 @@ object Bench {
     md ++= "never sits inside a timed window) — plus the driver tables at "
     md ++= s"`$sfDir`.\n\n"
     md ++= "## Extraction pipeline scaling (same job, same input)\n\n"
-    md ++= s"$rounds interleaved ABAB rounds (BOTH levels run their "
-    md ++= "timed pair twice per round, interleaved, per-level times = "
+    md ++= s"$rounds interleaved ABAB rounds (each level runs its timed "
+    md ++= "pair, then repeats the pair only when the first looks "
+    md ++= "burst-touched — full leg >10% off the run's best at that "
+    md ++= "level, or full/half ratio outside the clean-run window; "
+    md ++= "round 0 always runs both brackets. Per-level times = "
     md ++= "per-leg minima — throttle only slows a leg, so the minimum "
-    md ++= "estimates the true rate, and an un-bracketed leg at either "
-    md ++= "level would bias the round's ratio. The rate rows report "
+    md ++= "estimates the true rate. Skipping a clean duplicate bracket "
+    md ++= "buys extra ROUNDS inside the same budget, which is the "
+    md ++= "defense that works against this VM's multi-minute throttle "
+    md ++= "episodes: per-leg minima only dodge short bursts, the "
+    md ++= "cross-round median dodges episodes. The rate rows report "
     md ++= "best-of minima across rounds; the headline efficiency is "
-    md ++= "the PAIRED ratio from the calmest round — see below — with "
-    md ++= "the median of per-round efficiencies alongside, so one "
-    md ++= "steal episode can't set either number).\n\n"
+    md ++= "the MEDIAN of per-round paired efficiencies, so one "
+    md ++= "steal episode can't set it).\n\n"
     md ++= "| cores | docs/sec (best) | docs/sec (median) |\n|---|---|---|\n"
     md ++= f"| local[$nCores] (N) | $rateN%.1f | $rateNMed%.1f |\n"
     md ++= f"| local[$cores4N] (4N) | $rate4N%.1f | $rate4NMed%.1f |\n"

@@ -953,6 +953,28 @@ object SparkEntry {
       val seen = all.filter(col("doc_id") % 3 =!= 0).select(col("url"))
       graft.ops.IncrementalDedup.newUrls(all, seen)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- paragraph-level dedup (CC-Net / RefinedWeb recipe) -------------
+    // corpus-wide first-occurrence dedup at the paragraph unit (12-word
+    // chunks on this separator-free corpus — the same chunking is plain
+    // list slicing in the oracle): per-doc survival stats, one shuffle
+    // keyed on md5(paragraph), winner = min(doc_id, chunk_idx)
+    "x_paragraph_dedup" -> ((s, dir) => {
+      graft.ops.ParagraphDedup.chunkStats(
+        t(s, dir, "documents"), "doc_id", "text", chunkWords = 12)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- Gopher repetition screens --------------------------------------
+    // per-doc n-gram repetition coverage (Rae et al. 2021 quality
+    // filters), integer arithmetic end to end so DuckDB recomputes the
+    // exact values; dupN = 2 here so the duplicate-coverage signal is
+    // non-degenerate on the synthetic corpus (production default is 5)
+    "x_repetition_signals" -> ((s, dir) => {
+      graft.ops.Repetition.signals(
+        t(s, dir, "documents"), "doc_id", "text", dupN = 2)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1614,6 +1636,48 @@ object SparkEntry {
         "CAST(s.doc_id AS VARCHAR) = " +
         "'https://' || d.source || '.synth.example/doc/' || " +
         "CAST(d.doc_id AS VARCHAR)) ORDER BY d.doc_id"),
+
+    // paragraph dedup: DuckDB rebuilds the same 12-word chunks by list
+    // slicing and recomputes first-occurrence survival independently
+    "x_paragraph_dedup" ->
+      ("WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, " +
+        "array_to_string(ws[(CAST(u.i AS BIGINT)*12+1):" +
+        "(CAST(u.i AS BIGINT)*12+12)], ' ') AS para " +
+        "FROM w, UNNEST(range(CAST(ceil(len(ws)/12.0) AS BIGINT))) " +
+        "AS u(i)), " +
+        "win AS (SELECT para, min(doc_id*1000000+i) AS wk " +
+        "FROM c GROUP BY para) " +
+        "SELECT c.doc_id, count(*) AS paras_total, " +
+        "CAST(sum(CASE WHEN c.doc_id*1000000+c.i = win.wk " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS paras_kept " +
+        "FROM c JOIN win USING (para) " +
+        "GROUP BY c.doc_id ORDER BY c.doc_id"),
+
+    // Gopher repetition screens: integer n-gram coverage recomputed
+    // from scratch (list slicing + GROUP BY + integer floor division)
+    "x_repetition_signals" ->
+      ("WITH w AS (SELECT doc_id, len(text) AS n_chars, " +
+        "string_split(text,' ') AS ws FROM documents), " +
+        "g2 AS (SELECT doc_id, n_chars, " +
+        "array_to_string(ws[i:i+1], ' ') AS g " +
+        "FROM w, UNNEST(range(1, greatest(len(ws), 1))) u(i)), " +
+        "c2 AS (SELECT doc_id, n_chars, g, count(*) AS c FROM g2 " +
+        "GROUP BY doc_id, n_chars, g), " +
+        "t2 AS (SELECT doc_id, CAST(least(1000000, " +
+        "max(c*len(g))*1000000 // greatest(n_chars,1)) AS BIGINT) " +
+        "AS top_bigram_cover_e6 FROM c2 GROUP BY doc_id, n_chars), " +
+        "d2 AS (SELECT doc_id, CAST(least(1000000, " +
+        "sum(c*len(g))*1000000 // greatest(n_chars,1)) AS BIGINT) " +
+        "AS dup_2gram_cover_e6 FROM c2 WHERE c >= 2 " +
+        "GROUP BY doc_id, n_chars) " +
+        "SELECT w.doc_id, " +
+        "COALESCE(t2.top_bigram_cover_e6, 0) AS top_bigram_cover_e6, " +
+        "COALESCE(d2.dup_2gram_cover_e6, 0) AS dup_2gram_cover_e6, " +
+        "CAST(len(w.ws) AS BIGINT) AS n_words " +
+        "FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN d2 USING (doc_id) " +
+        "ORDER BY w.doc_id"),
 
     // WARC → kernel seam: the crawl-container roundtrip (WARC encode →
     // warcFiles → ExtractPipeline) must reproduce x_extract_md5's

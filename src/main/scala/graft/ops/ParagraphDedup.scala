@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-wide paragraph-level dedup (the CC-Net / RefinedWeb recipe):
+  * boilerplate and syndicated text repeat ACROSS documents even when no
+  * two whole documents match, so the unit of dedup drops from the
+  * document to the paragraph — each distinct paragraph is kept at its
+  * first occurrence and every later copy is removed, then documents are
+  * rebuilt from their surviving paragraphs.
+  *
+  * Scale shape: ONE shuffle, keyed on md5(paragraph) (the [[Dedup]]
+  * exact-dedup discipline — a 128-bit key dedups exactly at any corpus
+  * size without carrying the paragraph text twice); the winner per key
+  * is `min(struct(id, idx))` — a map-side-combinable aggregate, so the
+  * shuffle carries one candidate per (partition, paragraph), not one
+  * per occurrence. First occurrence = smallest (document id, position
+  * in document) lexicographically, which makes the output deterministic
+  * and independent of partitioning.
+  */
+object ParagraphDedup {
+
+  /** Explode text into (id, para_idx, para) rows. `sep` is a regex
+    * (default: blank-line paragraph breaks). Empty/whitespace-only
+    * fragments are dropped; `para_idx` is the fragment's 0-based
+    * position among the SURVIVING fragments of its document. */
+  def paragraphs(docs: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n\n+"): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), sep),
+          p => length(trim(p)) > 0).as("ps"))
+      .select(col("id"), posexplode(col("ps")).as(Seq("para_idx", "para")))
+
+  /** Pre-chunked variant for corpora without separator structure:
+    * fixed `chunkWords`-word windows as the paragraph unit. The same
+    * construction is plain SQL (list slicing) in any engine — what the
+    * oracle recomputes. */
+  def wordChunks(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive (got $chunkWords)")
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col("id"),
+        explode(transform(
+          sequence(lit(0),
+            (ceil(size(col("ws")) / lit(chunkWords.toDouble)) - 1)
+              .cast("int")),
+          i => struct(i.as("para_idx"),
+            array_join(slice(col("ws"), i * chunkWords + 1, lit(chunkWords)),
+              " ").as("para")))).as("c"))
+      .select(col("id"), col("c.para_idx"), col("c.para"))
+  }
+
+  /** First-occurrence winner per distinct paragraph: (id, para_idx,
+    * para, keep). One shuffle on md5(para); map-side-combined min. */
+  def markDuplicates(paras: DataFrame): DataFrame = {
+    val keyed = paras.withColumn("pkey", md5(col("para")))
+    val winners = keyed
+      .groupBy(col("pkey"))
+      .agg(min(struct(col("id"), col("para_idx"))).as("winner"))
+    keyed.join(winners, Seq("pkey"))
+      .withColumn("keep",
+        col("id") === col("winner.id") &&
+          col("para_idx") === col("winner.para_idx"))
+      .select(col("id"), col("para_idx"), col("para"), col("keep"))
+  }
+
+  /** Rebuild documents from surviving paragraphs (original order,
+    * original separator): (id, text, paras_total, paras_kept).
+    * Documents whose every paragraph was seen earlier come back with
+    * empty text — downstream filters drop them like any other
+    * too-short document. */
+  def dedup(docs: DataFrame, idCol: String, textCol: String,
+            sep: String = "\n\n+", joinSep: String = "\n\n"): DataFrame = {
+    val marked = markDuplicates(paragraphs(docs, idCol, textCol, sep))
+    marked
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("paras_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("paras_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("para_idx"), col("para"))))),
+            s => s.getField("para")),
+          joinSep).as("text"))
+      .select(col("id").as(idCol), col("text"),
+        col("paras_total"), col("paras_kept"))
+  }
+
+  /** Per-document survival stats over fixed word-window chunks —
+    * the oracle-comparable form: (id, paras_total, paras_kept). */
+  def chunkStats(docs: DataFrame, idCol: String, textCol: String,
+                 chunkWords: Int): DataFrame =
+    markDuplicates(wordChunks(docs, idCol, textCol, chunkWords))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("paras_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("paras_kept"))
+      .select(col("id").as(idCol), col("paras_total"), col("paras_kept"))
+}
