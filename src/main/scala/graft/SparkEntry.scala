@@ -975,6 +975,27 @@ object SparkEntry {
       graft.ops.Repetition.signals(
         t(s, dir, "documents"), "doc_id", "text", dupN = 2)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- PII scrubbing ---------------------------------------------------
+    // pre-training redaction (emails / IPv4 / E.164 phones → typed
+    // placeholders): PII-bearing text is synthesized from doc_id with
+    // the IDENTICAL expression on both sides (the corpus itself is
+    // digit-free word soup), so the oracle recomputes counts AND the
+    // md5 of the scrubbed text verbatim — a regex-semantics drift
+    // between engines turns this row red
+    "x_pii_scrub" -> ((s, dir) => {
+      val txt = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".example or +12125550"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"))
+      graft.ops.PiiScrub.stats(
+        t(s, dir, "documents").select(col("doc_id"), txt.as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1678,6 +1699,33 @@ object SparkEntry {
         "CAST(len(w.ws) AS BIGINT) AS n_words " +
         "FROM w LEFT JOIN t2 USING (doc_id) LEFT JOIN d2 USING (doc_id) " +
         "ORDER BY w.doc_id"),
+
+    // PII scrub: same synthesized input, same ASCII-explicit regexes,
+    // same replacement order (email -> ipv4 -> phone); counts are
+    // staged like the engine's (each class counted after the previous
+    // class was replaced)
+    "x_pii_scrub" ->
+      ("WITH d AS (SELECT doc_id, text || ' contact user' || " +
+        "CAST(doc_id AS VARCHAR) || '@mail' || " +
+        "CAST(doc_id % 7 AS VARCHAR) || '.example or +12125550' || " +
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' from 10.' || " +
+        "CAST(doc_id % 256 AS VARCHAR) || '.0.' || " +
+        "CAST(doc_id % 100 AS VARCHAR) AS t FROM documents), " +
+        "e AS (SELECT doc_id, t, " +
+        "regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]" +
+        "[A-Za-z]+', '<EMAIL>', 'g') AS t1 FROM d), " +
+        "i AS (SELECT doc_id, t, t1, " +
+        "regexp_replace(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\." +
+        "[0-9]{1,3}', '<IP>', 'g') AS t2 FROM e) " +
+        "SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@" +
+        "[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_emails, " +
+        "CAST(len(regexp_extract_all(t1, '[0-9]{1,3}\\.[0-9]{1,3}\\." +
+        "[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ips, " +
+        "CAST(len(regexp_extract_all(t2, '\\+[0-9]{7,15}')) AS BIGINT) " +
+        "AS n_phones, " +
+        "md5(regexp_replace(t2, '\\+[0-9]{7,15}', '<PHONE>', 'g')) " +
+        "AS scrub_md5 FROM i ORDER BY doc_id"),
 
     // WARC → kernel seam: the crawl-container roundtrip (WARC encode →
     // warcFiles → ExtractPipeline) must reproduce x_extract_md5's
