@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
@@ -25,18 +25,52 @@ import org.apache.spark.sql.functions._
   *    make the uncapped sum a coverage ESTIMATE, same as the published
   *    filter.
   *
-  * Scale shape: n-gram counting is per-document (explode → two-level
-  * aggregate keyed by (id, gram) then id), so the shuffle key space is
-  * documents × distinct grams — fully partition-parallel, no global
-  * state, map-side combinable at both levels.
+  * Scale shape: the computation is PER-DOCUMENT (no cross-document
+  * state), so it runs as a single per-row kernel — zero shuffles, one
+  * pass over the scan. The first version exploded n-grams through a
+  * two-level distributed aggregate (4 exchanges of documents ×
+  * distinct-gram rows); for a statistic with no cross-row dependency
+  * that shuffle volume bought nothing, and at 10^12 documents it is
+  * the difference between a map stage and a four-stage job.
   */
 object Repetition {
 
-  private def wordNGrams(ws: Column, n: Int): Column =
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => array_join(slice(ws, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  /** Per-document kernel: (top2_cover, dup_cover, n_words) as raw
+    * integer coverages (not yet e6-scaled). Tokenization is
+    * split-on-single-space KEEPING empty tokens (split limit -1),
+    * grams joined with one space, characters counted as code points —
+    * each choice pinned to what `split`/`array_join`/`length` mean in
+    * Spark SQL and what the DuckDB oracle recomputes. */
+  private[ops] def coverCounts(text: String, dupN: Int)
+      : (Long, Long, Int) = {
+    val ws = text.split(" ", -1)
+    def gramStats(n: Int): collection.mutable.HashMap[String, Int] = {
+      val m = new collection.mutable.HashMap[String, Int]()
+      var i = 0
+      while (i + n <= ws.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j)); j += 1
+        }
+        val g = sb.toString
+        m.update(g, m.getOrElse(g, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    var top2 = 0L
+    gramStats(2).foreach { case (g, c) =>
+      val cov = c * cp(g); if (cov > top2) top2 = cov
+    }
+    var dup = 0L
+    gramStats(dupN).foreach { case (g, c) =>
+      if (c >= 2) dup += c * cp(g)
+    }
+    (top2, dup, ws.length)
+  }
 
   /** (idCol, top_bigram_cover_e6, dup_{dupN}gram_cover_e6, n_words) per
     * document. Empty/one-word documents report 0 coverage. `dupN`
@@ -46,43 +80,22 @@ object Repetition {
   def signals(docs: DataFrame, idCol: String, textCol: String,
               dupN: Int = 5): DataFrame = {
     require(dupN >= 2, s"dupN must be >= 2 (got $dupN)")
-    val ws = split(col(textCol), " ")
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"),
-      ws.as("ws"))
-      .withColumn("n_words", size(col("ws")))
-      .withColumn("n_chars", length(col("text")))
-
     val dupName = s"dup_${dupN}gram_cover_e6"
-    def cover(n: Int, dupOnly: Boolean): DataFrame = {
-      val grams = base
-        .select(col("id"), col("n_chars"),
-          explode(wordNGrams(col("ws"), n)).as("g"))
-        .groupBy(col("id"), col("n_chars"), col("g"))
-        .agg(count(lit(1)).as("c"))
-      val covered =
-        if (dupOnly)
-          grams.filter(col("c") >= 2)
-            .groupBy(col("id"), col("n_chars"))
-            .agg(sum(col("c") * length(col("g"))).as("cov"))
-        else
-          grams.groupBy(col("id"), col("n_chars"))
-            .agg(max(col("c") * length(col("g"))).as("cov"))
-      // integer floor-division (DIV) end to end: `/` on longs is
-      // fractional in both Spark and DuckDB, and a double round-trip is
-      // a parity hazard the integer form simply doesn't have
-      covered.select(col("id"),
-        least(lit(1000000L),
-          expr("cov * 1000000 DIV greatest(n_chars, 1)"))
-          .as(if (dupOnly) dupName else "top_bigram_cover_e6"))
-    }
-
-    base.select(col("id"), col("n_words"))
-      .join(cover(2, dupOnly = false), Seq("id"), "left")
-      .join(cover(dupN, dupOnly = true), Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("top_bigram_cover_e6"), lit(0L))
-          .as("top_bigram_cover_e6"),
-        coalesce(col(dupName), lit(0L)).as(dupName),
-        col("n_words").cast("long").as("n_words"))
+    val kernel = udf((text: String) => {
+      val t = if (text == null) "" else text
+      val (top2, dup, nw) = coverCounts(t, dupN)
+      // integer floor division end to end: `/` on longs is fractional
+      // in both Spark and DuckDB, and a double round-trip is a parity
+      // hazard the integer form simply doesn't have
+      val chars = math.max(t.codePointCount(0, t.length), 1).toLong
+      (math.min(1000000L, top2 * 1000000L / chars),
+        math.min(1000000L, dup * 1000000L / chars),
+        nw.toLong)
+    })
+    docs.select(col(idCol), kernel(col(textCol)).as("s"))
+      .select(col(idCol),
+        col("s._1").as("top_bigram_cover_e6"),
+        col("s._2").as(dupName),
+        col("s._3").as("n_words"))
   }
 }
