@@ -996,6 +996,48 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), txt.as("text")),
         "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- curation funnel (the composed pipeline) -------------------------
+    // the end-to-end corpus-curation story a training-data user runs:
+    // language gate → quality gate → repetition screen → exact dedup →
+    // paragraph-dedup survival, each stage a library operator, emitted
+    // as a (stage, docs) funnel. The oracle recomputes EVERY stage
+    // predicate from scratch in SQL (marker-argmax langid, e6 quality,
+    // integer bigram coverage, windowed dedup, chunk survival), so a
+    // drift in ANY composed operator shifts a count and turns the row
+    // red. Stage sets are set-DEPENDENT (dedup winners among s3, chunk
+    // survival among s4) — order matters and is pinned.
+    "x_curation_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      d.cache()
+      // each stage frame is cached before its count so no stage's
+      // (UDF-bearing) predicate evaluates more than once — six counts
+      // over one forward pass, not a recomputation triangle
+      val s1 = graft.ops.TextAnalysis.withLanguageId(d)
+        .filter(col("lang_pred") === "en")
+        .select(col("doc_id"), col("text"))
+      s1.cache()
+      val s2 = s1.filter(qualityScoreE6(col("text")) >= 650000L)
+      s2.cache()
+      val sig = graft.ops.Repetition.signals(s2, "doc_id", "text", dupN = 2)
+      val s3 = s2.join(
+        sig.filter(col("top_bigram_cover_e6") <= 120000L)
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      s3.cache()
+      val s4 = graft.ops.Dedup.exactSurvivors(s3)
+      s4.cache()
+      val st = graft.ops.ParagraphDedup.chunkStats(s4, "doc_id", "text", 12)
+      val s5 = s4.join(
+        st.filter(col("paras_kept") * 2 >= col("paras_total"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val rows = Seq(
+        ("s0_all", d.count()), ("s1_lang_en", s1.count()),
+        ("s2_quality", s2.count()), ("s3_repetition", s3.count()),
+        ("s4_exact_dedup", s4.count()), ("s5_paragraph", s5.count()))
+      Seq(s4, s3, s2, s1, d).foreach(_.unpersist())
+      rows.toDF("stage", "docs").orderBy(col("stage"))
     })
   )
 
@@ -1726,6 +1768,63 @@ object SparkEntry {
         "AS n_phones, " +
         "md5(regexp_replace(t2, '\\+[0-9]{7,15}', '<PHONE>', 'g')) " +
         "AS scrub_md5 FROM i ORDER BY doc_id"),
+
+    // curation funnel: every stage recomputed from scratch (langid
+    // marker-argmax, e6 quality, integer bigram coverage, windowed
+    // exact dedup among s3, 12-word-chunk survival among s4)
+    "x_curation_funnel" ->
+      ("WITH t AS (SELECT doc_id, text, list_filter(" +
+        "regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '') " +
+        "AS toks FROM documents), " +
+        "s AS (SELECT doc_id, text, " +
+        "len(list_filter(toks, x -> list_contains(['the','and','of','is','that','with','for','this','are','was','not','you'], x))) AS s_en, " +
+        "len(list_filter(toks, x -> list_contains(['el','la','los','las','que','de','en','por','para','una','con','es'], x))) AS s_es, " +
+        "len(list_filter(toks, x -> list_contains(['le','les','des','une','est','dans','pour','que','qui','avec','sur','pas'], x))) AS s_fr, " +
+        "len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein','eine','für','auf','werden'], x))) AS s_de, " +
+        "len(list_filter(toks, x -> list_contains(['o','os','das','um','uma','não','com','para','por','mais','como','foi'], x))) AS s_pt " +
+        "FROM t), " +
+        "pred AS (SELECT doc_id, text, CASE " +
+        "WHEN greatest(s_en,s_es,s_fr,s_de,s_pt)=0 THEN 'und' " +
+        "WHEN s_en=greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'en' " +
+        "WHEN s_es=greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'es' " +
+        "WHEN s_fr=greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'fr' " +
+        "WHEN s_de=greatest(s_en,s_es,s_fr,s_de,s_pt) THEN 'de' " +
+        "ELSE 'pt' END AS lp FROM s), " +
+        "s1 AS (SELECT doc_id, text FROM pred WHERE lp='en'), " +
+        "s2 AS (SELECT doc_id, text FROM s1 WHERE " + qualityScoreE6Sql +
+        " >= 650000), " +
+        "rep AS (SELECT doc_id, CAST(least(1000000, " +
+        "max(c*len(g))*1000000 // greatest(n_chars,1)) AS BIGINT) AS tb " +
+        "FROM (SELECT doc_id, n_chars, g, count(*) AS c FROM (" +
+        "SELECT doc_id, length(text) AS n_chars, " +
+        "array_to_string(ws[i:i+1],' ') AS g FROM " +
+        "(SELECT doc_id, text, string_split(text,' ') ws FROM s2), " +
+        "UNNEST(range(1, greatest(len(ws),1))) u(i)) " +
+        "GROUP BY doc_id, n_chars, g) GROUP BY doc_id, n_chars), " +
+        "s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN rep USING (doc_id) " +
+        "WHERE rep.tb <= 120000), " +
+        "s4 AS (SELECT doc_id, text FROM (SELECT doc_id, text, " +
+        "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn " +
+        "FROM s3) WHERE rn=1), " +
+        "ch AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i, " +
+        "array_to_string(ws[(CAST(u.i AS BIGINT)*12+1):" +
+        "(CAST(u.i AS BIGINT)*12+12)],' ') AS para " +
+        "FROM (SELECT doc_id, string_split(text,' ') ws FROM s4), " +
+        "UNNEST(range(CAST(ceil(len(ws)/12.0) AS BIGINT))) u(i)), " +
+        "win AS (SELECT para, min(doc_id*1000000+i) wk FROM ch " +
+        "GROUP BY para), " +
+        "surv AS (SELECT ch.doc_id, count(*) tot, sum(CASE WHEN " +
+        "ch.doc_id*1000000+ch.i=win.wk THEN 1 ELSE 0 END) kept " +
+        "FROM ch JOIN win USING(para) GROUP BY ch.doc_id), " +
+        "s5 AS (SELECT doc_id FROM surv WHERE kept*2 >= tot) " +
+        "SELECT * FROM (VALUES " +
+        "('s0_all', (SELECT count(*) FROM documents)), " +
+        "('s1_lang_en', (SELECT count(*) FROM s1)), " +
+        "('s2_quality', (SELECT count(*) FROM s2)), " +
+        "('s3_repetition', (SELECT count(*) FROM s3)), " +
+        "('s4_exact_dedup', (SELECT count(*) FROM s4)), " +
+        "('s5_paragraph', (SELECT count(*) FROM s5))) " +
+        "AS v(stage, docs) ORDER BY stage"),
 
     // WARC → kernel seam: the crawl-container roundtrip (WARC encode →
     // warcFiles → ExtractPipeline) must reproduce x_extract_md5's
