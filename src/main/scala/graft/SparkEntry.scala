@@ -1010,34 +1010,37 @@ object SparkEntry {
     // survival among s4) — order matters and is pinned.
     "x_curation_funnel" -> ((s, dir) => {
       import s.implicits._
-      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      d.cache()
-      // each stage frame is cached before its count so no stage's
-      // (UDF-bearing) predicate evaluates more than once — six counts
-      // over one forward pass, not a recomputation triangle
-      val s1 = graft.ops.TextAnalysis.withLanguageId(d)
-        .filter(col("lang_pred") === "en")
-        .select(col("doc_id"), col("text"))
-      s1.cache()
-      val s2 = s1.filter(qualityScoreE6(col("text")) >= 650000L)
-      s2.cache()
-      val sig = graft.ops.Repetition.signals(s2, "doc_id", "text", dupN = 2)
-      val s3 = s2.join(
-        sig.filter(col("top_bigram_cover_e6") <= 120000L)
-          .select(col("doc_id")), Seq("doc_id"), "left_semi")
-      s3.cache()
+      // all per-ROW gates (langid, quality, repetition) evaluate in ONE
+      // map pass over the scan, and stages s0-s3 count in ONE
+      // conditional aggregation — the 10^12-scale shape (a funnel over
+      // row-local predicates is a map + agg, never a job per stage).
+      // Only the set-DEPENDENT stages need their own jobs: exact-dedup
+      // winners among s3, chunk survival among s4.
+      val flags = graft.ops.TextAnalysis.withLanguageId(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .withColumn("f1", col("lang_pred") === "en")
+        .withColumn("f2", col("f1") &&
+          qualityScoreE6(col("text")) >= 650000L)
+        .withColumn("f3", col("f2") &&
+          graft.ops.Repetition.signalsStruct(col("text"), dupN = 2)
+            .getField("_1") <= 120000L)
+      flags.cache()
+      def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      val h = flags.agg(count(lit(1)), cnt(col("f1")), cnt(col("f2")),
+        cnt(col("f3"))).head()
+      val s3 = flags.filter(col("f3")).select(col("doc_id"), col("text"))
       val s4 = graft.ops.Dedup.exactSurvivors(s3)
       s4.cache()
+      val c4 = s4.count()
       val st = graft.ops.ParagraphDedup.chunkStats(s4, "doc_id", "text", 12)
-      val s5 = s4.join(
+      val c5 = s4.join(
         st.filter(col("paras_kept") * 2 >= col("paras_total"))
-          .select(col("doc_id")), Seq("doc_id"), "left_semi")
-      val rows = Seq(
-        ("s0_all", d.count()), ("s1_lang_en", s1.count()),
-        ("s2_quality", s2.count()), ("s3_repetition", s3.count()),
-        ("s4_exact_dedup", s4.count()), ("s5_paragraph", s5.count()))
-      Seq(s4, s3, s2, s1, d).foreach(_.unpersist())
-      rows.toDF("stage", "docs").orderBy(col("stage"))
+          .select(col("doc_id")), Seq("doc_id"), "left_semi").count()
+      flags.unpersist(); s4.unpersist()
+      Seq(("s0_all", h.getLong(0)), ("s1_lang_en", h.getLong(1)),
+        ("s2_quality", h.getLong(2)), ("s3_repetition", h.getLong(3)),
+        ("s4_exact_dedup", c4), ("s5_paragraph", c5))
+        .toDF("stage", "docs").orderBy(col("stage"))
     })
   )
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Gopher-style repetition filters (Rae et al. 2021, "Scaling Language
@@ -72,15 +72,12 @@ object Repetition {
     (top2, dup, ws.length)
   }
 
-  /** (idCol, top_bigram_cover_e6, dup_{dupN}gram_cover_e6, n_words) per
-    * document. Empty/one-word documents report 0 coverage. `dupN`
-    * defaults to Gopher's 5; shorter n raises the signal's hit rate on
-    * low-repetition corpora (the oracle query uses 2 so the gate is
-    * statistically alive on the synthetic tables). */
-  def signals(docs: DataFrame, idCol: String, textCol: String,
-              dupN: Int = 5): DataFrame = {
+  /** The per-row kernel as a Column: struct(top_bigram_cover_e6,
+    * dup_cover_e6, n_words) — composable into a wider single-pass
+    * projection (the curation funnel computes every per-row gate in
+    * one map stage this way). */
+  def signalsStruct(text: Column, dupN: Int = 5): Column = {
     require(dupN >= 2, s"dupN must be >= 2 (got $dupN)")
-    val dupName = s"dup_${dupN}gram_cover_e6"
     val kernel = udf((text: String) => {
       val t = if (text == null) "" else text
       val (top2, dup, nw) = coverCounts(t, dupN)
@@ -92,7 +89,18 @@ object Repetition {
         math.min(1000000L, dup * 1000000L / chars),
         nw.toLong)
     })
-    docs.select(col(idCol), kernel(col(textCol)).as("s"))
+    kernel(text)
+  }
+
+  /** (idCol, top_bigram_cover_e6, dup_{dupN}gram_cover_e6, n_words) per
+    * document. Empty/one-word documents report 0 coverage. `dupN`
+    * defaults to Gopher's 5; shorter n raises the signal's hit rate on
+    * low-repetition corpora (the oracle query uses 2 so the gate is
+    * statistically alive on the synthetic tables). */
+  def signals(docs: DataFrame, idCol: String, textCol: String,
+              dupN: Int = 5): DataFrame = {
+    val dupName = s"dup_${dupN}gram_cover_e6"
+    docs.select(col(idCol), signalsStruct(col(textCol), dupN).as("s"))
       .select(col(idCol),
         col("s._1").as("top_bigram_cover_e6"),
         col("s._2").as(dupName),
