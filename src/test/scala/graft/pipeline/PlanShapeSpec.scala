@@ -23,6 +23,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions") || plan.contains("mapPartitions"))
   }
 
+  test("per-document statistics plan with ZERO exchanges") {
+    // Repetition.signals has no cross-document state: the plan must be
+    // a pure map stage (its first implementation exploded n-grams
+    // through a two-level distributed aggregate — four exchanges for a
+    // row-local statistic; this pins the regression out)
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.Repetition.signals(docs, "doc_id", "text", dupN = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"per-row stat must not shuffle:\n$plan")
+    val pii = graft.ops.PiiScrub.stats(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!pii.contains("Exchange"), s"per-row scrub must not shuffle:\n$pii")
+  }
+
   test("broadcast join chosen for dimension tables") {
     val dir = "/root/testdata/sf0.001"
     val plan = graft.SparkEntry.queries("q13_supply_join")(spark, dir)
