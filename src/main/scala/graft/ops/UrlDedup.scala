@@ -62,4 +62,28 @@ object UrlDedup {
       .filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** SURT form of a url (Sort-friendly URI Reordering Transform — the
+    * key format of Common-Crawl/wayback CDX indexes): canonicalize,
+    * then drop the scheme, reverse the host labels comma-joined, close
+    * with `)` and append path + sorted query. Sorting SURT keys groups
+    * a registered domain's subdomains together — the property CDX
+    * consumers range-scan on ("com,example)/a" < "com,example,www)/").
+    * Unparseable urls fall back to the canonical string (never null,
+    * never throws — crawl data). */
+  def surtKey(url: String): String = {
+    val c = canonicalize(url)
+    if (c == null || c.isEmpty) return c
+    try {
+      val u = new java.net.URI(c)
+      if (u.getScheme == null || u.getHost == null) return c
+      val host = u.getHost.split('.').reverse.mkString(",")
+      val port = if (u.getPort == -1) "" else s":${u.getPort}"
+      val path = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
+      val query = Option(u.getRawQuery).map("?" + _).getOrElse("")
+      s"$host$port)$path$query"
+    } catch {
+      case _: Exception => c
+    }
+  }
 }

@@ -658,9 +658,10 @@ object Warc {
 
   /** One CDXJ-style index line: `urlkey ts14 {json}` (the Common-Crawl
     * index layout — searchable key, 14-digit UTC timestamp, JSON blob
-    * with the capture's byte extent). urlkey uses the pipeline's url
-    * canonicalizer rather than full SURT form — documented
-    * simplification; the json `url` field carries the exact original. */
+    * with the capture's byte extent). urlkey is the SURT form
+    * ([[graft.ops.UrlDedup.surtKey]] — host labels reversed, so sorted
+    * keys range-scan by registered domain, the property CDX consumers
+    * rely on); the json `url` field carries the exact original. */
   private[sources] def cdxLine(url: String, ts: java.time.Instant,
       offset: Long, length: Long, filename: String): String = {
     def esc(s: String): String =
@@ -670,7 +671,7 @@ object Warc {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       }
-    val key = graft.ops.UrlDedup.canonicalize(url)
+    val key = graft.ops.UrlDedup.surtKey(url)
     s"${esc(key).replace(" ", "%20")} ${Ts14.format(ts)} " +
       s"""{"url":"${esc(url)}","offset":"$offset","length":"$length",""" +
       s""""filename":"${esc(filename)}"}""" + "\n"

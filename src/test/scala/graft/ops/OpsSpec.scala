@@ -330,6 +330,20 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() == 2)
   }
 
+  test("surtKey reverses host labels and sorts by registered domain") {
+    assert(UrlDedup.surtKey("https://news.example.co.uk/a/b?z=1&a=2")
+      == "uk,co,example,news)/a/b?a=2&z=1")
+    assert(UrlDedup.surtKey("HTTP://Example.COM:80/") == "com,example)/")
+    assert(UrlDedup.surtKey("http://h.example:8080/p") ==
+      "example,h:8080)/p")
+    // sorted SURT groups a domain's subdomains together
+    val keys = Seq("https://example.com/a", "https://www.example.com/",
+      "https://zzz.other.com/").map(UrlDedup.surtKey).sorted
+    assert(keys == Seq("com,example)/a", "com,example,www)/",
+      "com,other,zzz)/"))
+    assert(UrlDedup.surtKey("not a url") == "not a url")
+  }
+
   test("ivf index: train centroids, same-cluster neighbors found") {
     val r = new java.util.Random(11)
     val emb = (0L until 120L).map { i =>

@@ -662,7 +662,9 @@ class WarcSpec extends AnyFunSuite {
       val e0 = entries.orderBy("offset").limit(1)
         .select("urlkey", "ts14", "url", "offset").head()
       assert(e0.getString(2).startsWith("http://cdx.test/"))
-      assert(e0.getString(0).contains("?a=1&b=2")) // canonical key: sorted params
+      // SURT urlkey: host labels reversed, params sorted
+      assert(e0.getString(0).startsWith("test,cdx)/"))
+      assert(e0.getString(0).contains("?a=1&b=2"))
       assert(e0.getString(1).matches("\\d{14}"))
 
       // entries tile each data file exactly: contiguous, start 0, end EOF
