@@ -715,9 +715,12 @@ object Warc {
                      maxPayload: Int = DefaultMaxPayload): DataFrame = {
     import spark.implicits._
     val conf = new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    // Option-encoded extents: a malformed index line (json-less, or
+    // non-numeric offset) surfaces as None and fails below with a
+    // message naming the sidecar — not as an encoder NPE
     val entries = cdxEntries(spark, cdxGlob)
       .select(col("cdx_file"), col("filename"), col("offset"), col("length"))
-      .as[(String, String, Long, Long)]
+      .as[(String, Option[String], Option[Long], Option[Long])]
     entries
       .repartition(col("filename"))
       .sortWithinPartitions(col("filename"), col("offset"))
@@ -728,7 +731,10 @@ object Warc {
           if (open != null) { open._2.close(); open = null }
         val ctx = org.apache.spark.TaskContext.get()
         if (ctx != null) ctx.addTaskCompletionListener[Unit](_ => closeOpen())
-        val out = it.flatMap { case (cdxFile, dataName, off, len) =>
+        val out = it.flatMap { case (cdxFile, dataNameO, offO, lenO) =>
+          require(dataNameO.isDefined && offO.isDefined && lenO.isDefined,
+            s"malformed CDX line in $cdxFile (missing filename/offset/length)")
+          val (dataName, off, len) = (dataNameO.get, offO.get, lenO.get)
           // the data file sits next to its sidecar
           val dataPath = new Path(new Path(cdxFile).getParent, dataName)
           if (fs == null) fs = dataPath.getFileSystem(conf.conf)

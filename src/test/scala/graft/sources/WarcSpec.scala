@@ -731,6 +731,26 @@ class WarcSpec extends AnyFunSuite {
   private def ExceptionUtilsRoot(e: Throwable): String =
     org.apache.commons.lang3.exception.ExceptionUtils.getRootCauseMessage(e)
 
+  test("malformed CDX line fails with a message naming the sidecar") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdxmal_")
+      .toString
+    val rows = Seq(("http://m.test/1",
+      java.sql.Timestamp.from(ts(1)), "b")).toDF("url", "warc_ts", "text")
+      .coalesce(1)
+    Warc.writeWet(rows, dir, cdx = true)
+    val bad = new java.io.File(dir, "part-00000.cdx.gz")
+    val out = new java.util.zip.GZIPOutputStream(new FileOutputStream(bad))
+    out.write("garbage line with no json\n".getBytes(UTF_8))
+    out.close()
+    new java.io.File(dir, ".part-00000.cdx.gz.crc").delete()
+    val e = intercept[org.apache.spark.SparkException] {
+      Warc.readCdxRecords(spark, s"$dir/*.cdx.gz").count()
+    }
+    assert(org.apache.commons.lang3.exception.ExceptionUtils
+      .getRootCauseMessage(e).contains("malformed CDX line"))
+  }
+
   test("cdxLine escapes quotes, backslashes and control bytes") {
     val l = Warc.cdxLine("http://e.test/\"q\"\\x", Instant.ofEpochSecond(0),
       5L, 7L, "f.warc.wet.gz")
