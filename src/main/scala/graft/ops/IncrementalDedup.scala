@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Incremental crawl dedup: which rows of a NEW crawl batch carry urls
@@ -114,6 +115,161 @@ object IncrementalDedup {
     // order so the union is positionally correct
     val checked = candidates.join(seenPruned, Seq(urlCol), "left_anti")
       .select(newBatch.columns.map(col).toIndexedSeq: _*)
+    definiteNew.union(checked)
+  }
+
+  // ------------------------------------------------------------------
+  // Sharded bloom index — the form for |seen| beyond one broadcast.
+  //
+  // One filter per url-hash bucket, persisted as files: the index build
+  // is fully distributed (each task builds and commits its own
+  // bucket's filter — the driver never holds any filter), and the probe
+  // side loads exactly ONE bucket's filter per task. Total filter bytes
+  // scale with |seen| but PER-TASK memory scales with |seen| / buckets —
+  // at 10^12 urls and 4096 buckets, ~300 MB per task for 1% fpp where
+  // the broadcast form would need ~1.2 TB on every executor.
+  //
+  // Bucket == physical partition is pinned the same way the extraction
+  // pipeline pins it (the round-6 repartition lesson): repartition(B,
+  // col(url)) places a row in partition pmod(hash(url), B), and SQL
+  // hash() IS HashPartitioning's murmur3(seed 42) — so the build and
+  // probe sides agree on the bucket by construction, with no bucket
+  // column materialized anywhere.
+
+  private def bloomPath(dir: String, bucket: Int): Path =
+    new Path(f"$dir/bloom-$bucket%05d.bin")
+
+  /** Build and persist one Bloom filter per url-hash bucket over
+    * `seen`. Filters are insertion-order-independent, so the files are
+    * byte-deterministic given the bucket membership; each task commits
+    * via attempt-unique temp + rename (speculation-safe, same
+    * discipline as the WET writer). Buckets with no urls write no file
+    * (the probe treats a missing filter as "nothing seen here" — which
+    * is exactly true). Returns the number of filter files written. */
+  def writeBloomIndex(seen: DataFrame, dir: String, buckets: Int,
+                      urlCol: String = "url",
+                      fpp: Double = 0.01,
+                      expectedSeen: Long = -1L): Long = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1) (got $fpp)")
+    val spark = seen.sparkSession
+    import spark.implicits._
+    val nSeen = if (expectedSeen > 0L) expectedSeen
+    else seen.select(col(urlCol)).count()
+    // headroom: overflow past expectedItems only raises the realized
+    // fpp (more candidates through the exact join), never correctness
+    val perBucket = math.max(nSeen / buckets * 12 / 10, 64L)
+    val conf = new graft.sources.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    // The bucket is derived from the DATA (pmod(hash(url), B) — the
+    // exact expression HashPartitioning uses for the partition id), so
+    // the repartition routes each bucket's rows into one task, but
+    // nothing depends on TaskContext.partitionId: when a frame like
+    // this is consumed through a union, partition ids are the UNION
+    // stage's (observed: ids 8..15 for an 8-bucket frame) and would
+    // name the wrong files. A task that ever receives several buckets
+    // (plan fusion, AQE) simply writes several correct files.
+    val written = seen.select(col(urlCol)).na.drop()
+      .withColumn("__bucket", pmod(hash(col(urlCol)), lit(buckets)))
+      .repartition(buckets, col(urlCol))
+      .as[(String, Int)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val ctx = org.apache.spark.TaskContext.get()
+          val attemptUid =
+            if (ctx != null) s"a${ctx.taskAttemptId()}"
+            else java.util.UUID.randomUUID().toString
+          val filters = new collection.mutable.HashMap[Int, BloomFilter]()
+          it.foreach { case (url, bucket) =>
+            filters.getOrElseUpdate(bucket, BloomFilter.create(perBucket, fpp))
+              .putString(url)
+          }
+          var n = 0L
+          filters.foreach { case (bucket, bf) =>
+            val fin = bloomPath(dir, bucket)
+            val tmp =
+              new Path(f"$dir/_bloom_tmp/bloom-$bucket%05d-$attemptUid.bin")
+            val fs = fin.getFileSystem(conf.conf)
+            val out = fs.create(tmp, true)
+            var ok = false
+            try { bf.writeTo(out); ok = true }
+            finally { out.close(); if (!ok) fs.delete(tmp, false) }
+            if (!fs.rename(tmp, fin)) {
+              fs.delete(tmp, false)
+              if (!fs.exists(fin))
+                throw new java.io.IOException(s"bloom commit failed for $fin")
+            }
+            n += 1
+          }
+          Iterator.single(n)
+        }
+      }.collect().sum
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(dir, "_bloom_tmp"), true)
+    written
+  }
+
+  /** Rows of `newBatch` whose url is definitely absent from the
+    * indexed corpus, plus the candidate minority that needs the exact
+    * join — the probe half of the sharded form. Each task loads ONE
+    * bucket's filter (lazily, once) and routes its partition's rows;
+    * rows whose bucket has no filter file are all definitely new.
+    * Output == `newBatch LEFT ANTI JOIN seen`, exactly as the
+    * broadcast form: the filters only route. */
+  def newUrlsSharded(newBatch: DataFrame, seen: DataFrame,
+                     indexDir: String, buckets: Int,
+                     urlCol: String = "url"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive (got $buckets)")
+    val spark = newBatch.sparkSession
+    val conf = new graft.sources.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
+    val cols = newBatch.columns
+    // null urls can't hash-partition consistently with the build side's
+    // na.drop; they are definitely new (anti-join keeps them) — route
+    // them straight through
+    val nullRows = newBatch.filter(col(urlCol).isNull)
+    // bucket from the DATA, never TaskContext.partitionId: consumed
+    // through the union below, this mapPartitions runs with the UNION
+    // stage's partition ids (observed: ids 8..15 for an 8-bucket frame
+    // — every id past B-1 loaded a nonexistent filter and silently
+    // mis-routed the false positives). The per-task filter cache holds
+    // one entry in the normal partition==bucket case and stays correct
+    // if a task ever receives several buckets.
+    val flagged = newBatch.filter(col(urlCol).isNotNull)
+      .withColumn("__bucket", pmod(hash(col(urlCol)), lit(buckets)))
+      .repartition(buckets, col(urlCol))
+      .mapPartitions { it =>
+        val loaded = new collection.mutable.HashMap[Int, BloomFilter]()
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        def filterFor(bucket: Int): BloomFilter =
+          loaded.getOrElseUpdate(bucket, {
+            val fin = bloomPath(indexDir, bucket)
+            if (fs == null) fs = fin.getFileSystem(conf.conf)
+            if (!fs.exists(fin)) null
+            else {
+              val in = fs.open(fin)
+              try BloomFilter.readFrom(in) finally in.close()
+            }
+          })
+        val urlIdx = cols.indexOf(urlCol)
+        val bucketIdx = cols.length // __bucket appended after batch cols
+        it.map { row =>
+          val bf = filterFor(row.getInt(bucketIdx))
+          val maybe = bf != null && bf.mightContainString(row.getString(urlIdx))
+          org.apache.spark.sql.Row.fromSeq(
+            row.toSeq.dropRight(1) :+ maybe)
+        }
+      }(org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(
+          newBatch.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "__maybe_seen", org.apache.spark.sql.types.BooleanType, false))))
+    val definiteNew = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen")
+      .union(nullRows)
+    val candidates = flagged.filter(col("__maybe_seen")).drop("__maybe_seen")
+    val checked = candidates
+      .join(seen.select(col(urlCol)), Seq(urlCol), "left_anti")
+      .select(cols.map(col).toIndexedSeq: _*)
     definiteNew.union(checked)
   }
 }

@@ -550,6 +550,11 @@ object Warc {
         if (!it.hasNext) Iterator.empty
         else {
           val ctx = org.apache.spark.TaskContext.get()
+          // partitionId is safe HERE because this mapPartitions is
+          // consumed directly by the collect() below (one stage, ids ==
+          // input partitions); it must never be used to look up
+          // bucket-keyed state in a frame a caller can compose (union
+          // concatenation shifts the ids — see IncrementalDedup)
           val pid = if (ctx != null) ctx.partitionId() else 0
           // attempt-unique scratch name: a speculative duplicate and
           // the original can NEVER share a write target

@@ -90,4 +90,69 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val b = IncrementalDedup.filterBytes(1000000L, 0.01)
     assert(b > 1100000L && b < 1300000L)
   }
+
+  test("sharded bloom index: probe equals plain anti-join") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloomidx_").toString
+    val seen = urls(0 until 700)
+    val batch = urls(500 until 1200).repartition(5)
+    val written = IncrementalDedup.writeBloomIndex(seen, dir, buckets = 8)
+    assert(written > 0 && written <= 8)
+    // files are named by bucket and committed (no temp dir left;
+    // ignore Hadoop local-FS .crc sidecars)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.forall(f => f.matches("bloom-\\d{5}\\.bin")), files.toSeq)
+    val got = IncrementalDedup
+      .newUrlsSharded(batch, seen, dir, buckets = 8)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == exact(batch, seen))
+    assert(got.size == 500)
+  }
+
+  test("sharded probe: missing bucket files mean definitely-new") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloomidx2_").toString
+    // empty seen: no filter files at all — every batch row is new
+    val seen = urls(Seq.empty)
+    val batch = urls(0 until 40)
+    assert(IncrementalDedup.writeBloomIndex(seen, dir, buckets = 4) == 0L)
+    val got = IncrementalDedup.newUrlsSharded(batch, seen, dir, buckets = 4)
+    assert(got.count() == 40)
+  }
+
+  test("sharded probe keeps null urls and batch multiplicity") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bloomidx3_").toString
+    val seen = urls(0 until 50)
+    IncrementalDedup.writeBloomIndex(seen, dir, buckets = 4)
+    val batch = Seq((null: String, 900L), ("https://example.com/p3", 901L),
+      ("https://example.com/p60", 902L), ("https://example.com/p60", 903L))
+      .toDF("url", "doc_id")
+    val got = IncrementalDedup.newUrlsSharded(batch, seen, dir, buckets = 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(got == exact(batch, seen))
+    assert(got.map(_.getLong(1)) == Seq(900L, 902L, 903L))
+  }
+
+  test("build and probe agree on bucket for every url (partition pinning)") {
+    // byte-deterministic index: rebuilding from a differently-partitioned
+    // seen frame yields identical filter files
+    val dir1 = java.nio.file.Files
+      .createTempDirectory("graft_bloomidx4_").toString
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_bloomidx5_").toString
+    val seen = urls(0 until 300)
+    IncrementalDedup.writeBloomIndex(seen.repartition(7), dir1, buckets = 8)
+    IncrementalDedup.writeBloomIndex(seen.repartition(2), dir2, buckets = 8)
+    val f1 = new java.io.File(dir1).listFiles().sortBy(_.getName)
+    val f2 = new java.io.File(dir2).listFiles().sortBy(_.getName)
+    assert(f1.map(_.getName).toSeq == f2.map(_.getName).toSeq)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(a.toPath),
+        java.nio.file.Files.readAllBytes(b.toPath)), a.getName)
+    }
+  }
 }
