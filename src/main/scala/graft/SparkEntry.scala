@@ -947,11 +947,20 @@ object SparkEntry {
     // eliminated by the join), which is what lets DuckDB recompute this
     // row exactly.
     "x_incremental_dedup" -> ((s, dir) => {
-      val all = t(s, dir, "documents").select(col("doc_id"),
-        concat(lit("https://"), col("source"), lit(".synth.example/doc/"),
-          col("doc_id").cast("string")).as("url"))
-      val seen = all.filter(col("doc_id") % 3 =!= 0).select(col("url"))
+      val (all, seen) = incDedupFrames(s, dir)
       graft.ops.IncrementalDedup.newUrls(all, seen)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the sharded form of the same operator — persistent per-bucket
+    // filter files, one bucket-filter load per probe task — must
+    // produce the IDENTICAL anti-join output (same oracle). This is
+    // the driver-visible end-to-end exercise of the union-consumption
+    // path that the TaskContext.partitionId bug hid in.
+    "x_incremental_dedup_sharded" -> ((s, dir) => {
+      val (all, seen) = incDedupFrames(s, dir)
+      graft.ops.IncrementalDedup
+        .newUrlsSharded(all, seen, bloomIndexDir(dir, seen), buckets = 8)
         .orderBy(col("doc_id"))
     }),
 
@@ -1122,6 +1131,31 @@ object SparkEntry {
     * safe at every scale this gate runs at (the gate itself samples
     * queries precisely so its cost stays bounded; a 10^12-row corpus
     * would cap the sample further, not collect more). */
+  /** (batch, seen) frames for the incremental-dedup rows: urls
+    * synthesized from doc_id with the expression the oracle repeats. */
+  private def incDedupFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val all = t(s, dir, "documents").select(col("doc_id"),
+      concat(lit("https://"), col("source"), lit(".synth.example/doc/"),
+        col("doc_id").cast("string")).as("url"))
+    (all, all.filter(col("doc_id") % 3 =!= 0).select(col("url")))
+  }
+
+  /** Sharded bloom index for the x_incremental_dedup_sharded row,
+    * built once per (JVM, sfDir) — the build is deterministic, so the
+    * cache changes no result. */
+  @volatile private var bloomIdx: (String, String) = _
+  private def bloomIndexDir(dir: String, seen: DataFrame): String =
+    synchronized {
+      if (bloomIdx == null || bloomIdx._1 != dir) {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft_bloom_idx_").toString
+        graft.ops.IncrementalDedup.writeBloomIndex(seen, d, buckets = 8)
+        bloomIdx = (dir, d)
+      }
+      bloomIdx._2
+    }
+
   @volatile private var brutePairCache: (String, Array[(Long, Long)]) = _
   private def brutePairs(dir: String, emb: DataFrame,
       sampleQ: DataFrame): Array[(Long, Long)] = synchronized {
@@ -1694,6 +1728,17 @@ object SparkEntry {
     // routes rows, never decides membership) — DuckDB recomputes the
     // anti-join over the same synthesized urls
     "x_incremental_dedup" ->
+      ("SELECT d.doc_id, 'https://' || d.source || '.synth.example/doc/' " +
+        "|| CAST(d.doc_id AS VARCHAR) AS url " +
+        "FROM documents d WHERE NOT EXISTS (" +
+        "SELECT 1 FROM documents s WHERE s.doc_id % 3 <> 0 AND " +
+        "'https://' || s.source || '.synth.example/doc/' || " +
+        "CAST(s.doc_id AS VARCHAR) = " +
+        "'https://' || d.source || '.synth.example/doc/' || " +
+        "CAST(d.doc_id AS VARCHAR)) ORDER BY d.doc_id"),
+
+    // sharded form: identical output by construction — identical oracle
+    "x_incremental_dedup_sharded" ->
       ("SELECT d.doc_id, 'https://' || d.source || '.synth.example/doc/' " +
         "|| CAST(d.doc_id AS VARCHAR) AS url " +
         "FROM documents d WHERE NOT EXISTS (" +
