@@ -106,10 +106,16 @@ object IncrementalDedup {
     // the seen side of the exact join from the whole index to
     // ~|candidates| + fpp·|seen| rows before the shuffle
     val nCand = candidates.select(col(urlCol)).count()
-    budgetGuard(nCand, fpp, filterBudgetBytes, "candidate-side")
-    val candBf = candidates.select(col(urlCol))
-      .stat.bloomFilter(urlCol, math.max(nCand, 1L), fpp)
-    val seenPruned = seenUrls.filter(mightContainCol(seenUrls, candBf, urlCol))
+    val seenPruned =
+      if (nCand == 0L) seenUrls.limit(0) // no candidates: nothing to check
+      else {
+        budgetGuard(nCand, fpp, filterBudgetBytes, "candidate-side")
+        // stat.bloomFilter on an EMPTY frame returns an unreadable
+        // filter (NPE at readFrom) — the nCand==0 branch avoids it
+        val candBf = candidates.select(col(urlCol))
+          .stat.bloomFilter(urlCol, math.max(nCand, 1L), fpp)
+        seenUrls.filter(mightContainCol(seenUrls, candBf, urlCol))
+      }
 
     // using-column joins move the key first; restore the batch's column
     // order so the union is positionally correct
@@ -267,8 +273,25 @@ object IncrementalDedup {
     val definiteNew = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen")
       .union(nullRows)
     val candidates = flagged.filter(col("__maybe_seen")).drop("__maybe_seen")
+    // same candidate-side prune as the broadcast form: the exact join
+    // must consult the index, but only the rows that can possibly match
+    // the (small) candidate set need to reach the shuffle — without
+    // this the sharded form would scan-and-shuffle all of `seen` to
+    // serve a few false positives
+    val seenUrls = seen.select(col(urlCol))
+    val nCand = candidates.select(col(urlCol)).count()
+    val seenPruned =
+      if (nCand == 0L) seenUrls.limit(0) // no candidates: nothing to check
+      else {
+        budgetGuard(nCand, 0.01, DefaultFilterBudgetBytes, "candidate-side")
+        // stat.bloomFilter returns an unreadable filter on an empty
+        // frame (NPE at readFrom) — the nCand==0 branch above avoids it
+        val candBf = candidates.select(col(urlCol))
+          .stat.bloomFilter(urlCol, math.max(nCand, 1L), 0.01)
+        seenUrls.filter(mightContainCol(seenUrls, candBf, urlCol))
+      }
     val checked = candidates
-      .join(seen.select(col(urlCol)), Seq(urlCol), "left_anti")
+      .join(seenPruned, Seq(urlCol), "left_anti")
       .select(cols.map(col).toIndexedSeq: _*)
     definiteNew.union(checked)
   }
