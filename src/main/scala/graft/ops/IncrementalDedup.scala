@@ -213,7 +213,29 @@ object IncrementalDedup {
       }.collect().sum
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(dir, "_bloom_tmp"), true)
+    // manifest (driver-written once, after the filters): the probe
+    // REQUIRES its bucket count to match — probing an 8-bucket index
+    // with buckets=16 would hash rows to filters that do not exist and
+    // silently classify every seen url as new (same failure class as
+    // resuming a run across a bucket-mapping change; same fix: stamp
+    // the mapping, fail fast on mismatch)
+    val out = fs.create(new Path(dir, MetaFile), true)
+    try out.write(s"buckets=$buckets\nfpp=$fpp\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     written
+  }
+
+  private[ops] val MetaFile = "_bloom_meta"
+
+  private def readMetaBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Int] = {
+    val p = new Path(dir, MetaFile)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    "buckets=([0-9]+)".r.findFirstMatchIn(text).map(_.group(1).toInt)
   }
 
   /** Rows of `newBatch` whose url is definitely absent from the
@@ -230,6 +252,14 @@ object IncrementalDedup {
     val spark = newBatch.sparkSession
     val conf = new graft.sources.SerializableHadoopConf(
       spark.sparkContext.hadoopConfiguration)
+    val idxFs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMetaBuckets(idxFs, indexDir).foreach { b =>
+      require(b == buckets,
+        s"bloom index at $indexDir was built with buckets=$b, probe " +
+          s"requested $buckets — a mismatch hashes urls to filters that " +
+          "do not exist and silently reports seen urls as new")
+    }
     val cols = newBatch.columns
     // null urls can't hash-partition consistently with the build side's
     // na.drop; they are definitely new (anti-join keeps them) — route

@@ -99,10 +99,16 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val written = IncrementalDedup.writeBloomIndex(seen, dir, buckets = 8)
     assert(written > 0 && written <= 8)
     // files are named by bucket and committed (no temp dir left;
-    // ignore Hadoop local-FS .crc sidecars)
+    // ignore Hadoop local-FS .crc sidecars and the _bloom_meta manifest)
     val files = new java.io.File(dir).listFiles().map(_.getName)
-      .filterNot(_.startsWith(".")).sorted
+      .filterNot(f => f.startsWith(".") || f.startsWith("_")).sorted
     assert(files.forall(f => f.matches("bloom-\\d{5}\\.bin")), files.toSeq)
+    // probing with a different bucket count than the index was built
+    // with must fail fast, not silently classify seen urls as new
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.newUrlsSharded(batch, seen, dir, buckets = 16).count()
+    }
+    assert(e.getMessage.contains("built with buckets=8"))
     val got = IncrementalDedup
       .newUrlsSharded(batch, seen, dir, buckets = 8)
       .orderBy("doc_id").collect().toSeq
