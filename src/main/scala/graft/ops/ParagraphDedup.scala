@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * per occurrence. First occurrence = smallest (document id, position
   * in document) lexicographically, which makes the output deterministic
   * and independent of partitioning.
+  *
+  * Skew: a boilerplate paragraph duplicated across millions of pages
+  * hash-routes all its occurrences to one join partition (inherent to
+  * the per-occurrence keep flag). The winner side is one row per key,
+  * so AQE's skew-join split handles the oversized partition — leave
+  * `spark.sql.adaptive.skewJoin.enabled` on (default) for crawl-scale
+  * runs.
   */
 object ParagraphDedup {
 
