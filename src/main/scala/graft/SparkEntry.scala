@@ -1050,6 +1050,83 @@ object SparkEntry {
         ("s2_quality", h.getLong(2)), ("s3_repetition", h.getLong(3)),
         ("s4_exact_dedup", c4), ("s5_paragraph", c5))
         .toDF("stage", "docs").orderBy(col("stage"))
+    }),
+
+    // ---- near-dup cluster resolution -------------------------------------
+    // connected components (alternating large-star/small-star) over a
+    // deterministic edge graph derived from doc_id: chains join
+    // consecutive ids inside each 100-block (label propagation's worst
+    // case — O(block) rounds there, O(log) here) and extra star edges
+    // (i - i%7, i) vary the degree without leaving the block. The
+    // closed form component = doc_id - doc_id%100 lets the oracle
+    // recompute membership EXACTLY — the Spark side runs the real
+    // iterative algorithm, so a wrong merge or premature convergence
+    // shifts a members_sum and turns the row red. Canonical election
+    // (max length(text), tie min doc_id) rides on the same row; the
+    // general-graph contract is property-tested against union-find in
+    // DupClustersSpec.
+    "x_dup_clusters" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val chain = ids.filter(col("doc_id") % 100 =!= 99)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      val star = ids.filter(col("doc_id") % 7 =!= 0 &&
+          col("doc_id") % 7 <= col("doc_id") % 100)
+        .select((col("doc_id") - col("doc_id") % 7).as("a"),
+          col("doc_id").as("b"))
+      val labels =
+        graft.ops.DupClusters.connectedComponents(chain.union(star))
+      val docsQ = t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("quality"))
+      graft.ops.DupClusters.electCanonical(docsQ, labels)
+        .orderBy(col("component"))
+    }),
+
+    // ---- winnowing fingerprints (MOSS) -----------------------------------
+    // per-row rolling-hash window-minima kernel (zero shuffles until the
+    // caller explodes) + fingerprint-sharing candidate pairs. DuckDB
+    // cannot recompute the kernel, so the row is constant-oracled on the
+    // x_extract_md5 pattern: per-doc xxhash64 xor + totals pinned at the
+    // driver's correctness scale. The SIGMOD'03 substring-share
+    // guarantee is property-tested in WinnowingSpec.
+    "x_winnow_fingerprints" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val fp = graft.ops.Winnowing.withFingerprints(docs)
+        .select(col("doc_id"), col("fps"))
+      val ex = fp.select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+      val fpAgg = ex.agg(
+        count(col("fp")).as("fps_total"),
+        coalesce(bit_xor(xxhash64(col("doc_id"), col("fp"))), lit(0L))
+          .as("fps_xor"))
+      val pairAgg = graft.ops.Winnowing.candidatePairs(docs, minShared = 2)
+        .agg(
+          count(lit(1)).as("shared_pairs"),
+          coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L))
+            .as("pairs_xor"))
+      fpAgg.crossJoin(pairAgg)
+        .select(col("fps_total"), col("fps_xor"), col("shared_pairs"),
+          col("pairs_xor"))
+    }),
+
+    // ---- per-domain cap ---------------------------------------------------
+    // crawl-curation guard: top-3 docs per host by (quality, doc_id),
+    // hosts synthesized deterministically with a hot.example carrying
+    // 40% of the corpus (the skew case the salted two-phase cap
+    // defuses). The Spark side parses hosts out of full urls with the
+    // real parser; the oracle constructs the host directly and ranks
+    // with a plain window — parser drift or a cap bug turns the row red.
+    "x_domain_cap" -> ((s, dir) => {
+      val host = when(col("doc_id") % 5 < 2, lit("hot.example"))
+        .otherwise(concat(lit("h"), (col("doc_id") % 97).cast("string"),
+          lit(".example")))
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"), host, lit("/p/"),
+          col("doc_id").cast("string")).as("url"),
+        length(col("text")).cast("long").as("quality"))
+      graft.ops.DomainCap.cap(graft.ops.DomainCap.withHost(urls), k = 3,
+        Seq(col("quality").desc, col("doc_id").asc), col("doc_id"))
+        .select(col("host"), col("doc_id"), col("quality"))
+        .orderBy(col("host"), col("doc_id"))
     })
   )
 
@@ -1902,7 +1979,40 @@ object SparkEntry {
         "least(25, len(list_filter(lines, x -> regexp_matches(x, " +
         "'\\d+[\\d,]*\\.\\d{2}') AND len(list_filter(" +
         "regexp_split_to_array(trim(x), '\\s+'), t2 -> t2 <> '')) >= 2))) " +
-        "AS n_receipt_items FROM l ORDER BY doc_id")
+        "AS n_receipt_items FROM l ORDER BY doc_id"),
+
+    // connected components over the closed-form block graph: the oracle
+    // recomputes component membership, sums, and the canonical election
+    // directly from component = doc_id - doc_id%100
+    "x_dup_clusters" ->
+      ("WITH c AS (SELECT doc_id, doc_id - doc_id % 100 AS component, " +
+        "len(text) AS q FROM documents), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY component " +
+        "ORDER BY q DESC, doc_id ASC) AS rn FROM c) " +
+        "SELECT component, CAST(count(*) AS BIGINT) AS n_members, " +
+        "CAST(sum(doc_id) AS BIGINT) AS members_sum, " +
+        "CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_id " +
+        "FROM r GROUP BY component ORDER BY component"),
+
+    // winnowing kernel + pair candidates, constant-oracled (the sketch
+    // is not SQL-recomputable; regenerate only with a deliberate k/w
+    // parameter change). Pinned at the driver's correctness scale.
+    "x_winnow_fingerprints" ->
+      ("SELECT CAST(16262 AS BIGINT) AS fps_total, " +
+        "CAST(4279121161937872387 AS BIGINT) AS fps_xor, " +
+        "CAST(272 AS BIGINT) AS shared_pairs, " +
+        "CAST(-4536052417542886373 AS BIGINT) AS pairs_xor"),
+
+    // per-domain cap: host derived directly from doc_id; plain-window
+    // top-3 per host by (len(text) desc, doc_id asc)
+    "x_domain_cap" ->
+      ("WITH u AS (SELECT doc_id, CASE WHEN doc_id % 5 < 2 " +
+        "THEN 'hot.example' ELSE 'h' || CAST(doc_id % 97 AS VARCHAR) || " +
+        "'.example' END AS host, len(text) AS quality FROM documents), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY host " +
+        "ORDER BY quality DESC, doc_id ASC) AS rn FROM u) " +
+        "SELECT host, doc_id, CAST(quality AS BIGINT) AS quality " +
+        "FROM r WHERE rn <= 3 ORDER BY host, doc_id")
   )
 
   /** DuckDB rendering of [[qualityScoreE6]] — identical operation order. */

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: near-dup PAIRS (from minhash / simhash /
+  * winnowing candidates) are only half the dedup story — a training-data
+  * pipeline must collapse each transitive group of near-dups to ONE kept
+  * document. That is connected components over the pair graph, then a
+  * deterministic canonical election inside each component.
+  *
+  * The components algorithm is the alternating large-star / small-star
+  * method (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014): each
+  * round is two grouped-join passes keyed on node id, and the edge set
+  * converges to per-component stars centered at the component MINIMUM in
+  * O(log² n) rounds (in practice a handful — a 100-node chain, label
+  * propagation's worst case at 100 rounds, converges here in 4). No
+  * adjacency lists are ever collected: each pass is a `groupBy(min)`
+  * plus an equi-join, so a hot node (a boilerplate page near-dup to
+  * millions of others) contributes one aggregate row, never an in-memory
+  * neighbor array.
+  *
+  * Scale notes:
+  *  - every pass shuffles only (long, long) rows keyed by node id;
+  *  - iteration lineage is truncated each round via the `persistRound`
+  *    hook (default `localCheckpoint(eager = true)`; on a real cluster
+  *    pass `_.checkpoint()` with a reliable checkpoint dir so executor
+  *    loss cannot orphan the iteration);
+  *  - convergence is detected by a (count, order-independent xxhash64
+  *    checksum) pair over the canonicalized edge set — one cheap
+  *    aggregate per round instead of a full set-equality join.
+  */
+object DupClusters {
+
+  /** Connected components over an undirected edge list.
+    *
+    * @param pairs edges with long columns `a`, `b` (self-loops ignored)
+    * @return one row per distinct node: (id, component) where component
+    *         is the minimum node id reachable from `id`
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+      persistRound: DataFrame => DataFrame = _.localCheckpoint(true))
+      : DataFrame = {
+    val raw = pairs
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    // nodes come from the RAW pair list so a self-paired id still gets
+    // a (trivial) component of its own
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct()
+    var edges = raw
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    edges = persistRound(edges)
+
+    var prev = edgeChecksum(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      edges = persistRound(smallStar(largeStar(edges)))
+      val cur = edgeChecksum(edges)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(O(log^2 n) expected; raise maxIter only after checking the input)")
+
+    // Converged edges form stars (hi -> component min). Nodes that are
+    // component minima have no hi-side row and label themselves.
+    val starLabels = edges.select(col("b").as("id"), col("a").as("component"))
+    nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Large-star: every node connects its LARGER neighbors to the minimum
+    * of its inclusive neighborhood. One groupBy + one join, both on the
+    * node id. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = symmetrize(edges)
+    val mins = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    sym.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Small-star: every node connects its SMALLER-or-equal neighborhood
+    * (itself included) to that neighborhood's minimum. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = symmetrize(edges).filter(col("v") < col("u"))
+    val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val leafEdges = oriented.join(mins, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+    val centerEdges = mins
+      .select(col("u").as("a"), col("m").as("b"))
+    leafEdges.union(centerEdges)
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+  }
+
+  private def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("u"), col("b").as("v"))
+      .union(edges.select(col("b").as("u"), col("a").as("v")))
+
+  /** Order-independent fingerprint of a canonical edge set: one
+    * aggregate row (count, xor of per-edge xxhash64). */
+  private def edgeChecksum(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("x"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Canonical election: ONE kept document per component, by descending
+    * `quality` then ascending doc id (deterministic). Returns a cluster
+    * summary — (component, n_members, members_sum, keep_id) — sized by
+    * the number of clusters, not documents. The join is keyed on doc id
+    * (the labels frame is (id, component)); at crawl scale AQE broadcasts
+    * the label side when the near-dup population is small relative to
+    * the corpus, which it is by definition. */
+  def electCanonical(docs: DataFrame, labels: DataFrame,
+      idCol: String = "doc_id", qualityCol: String = "quality")
+      : DataFrame = {
+    val joined = docs
+      .join(labels, docs(idCol) === labels("id"))
+      .select(col("component"), col(idCol).as("member"),
+        col(qualityCol).as("q"))
+    joined
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("member")).as("members_sum"),
+        // max_by with a struct tie-break: (q desc, member asc) ==
+        // max of (q, -member)
+        max_by(col("member"),
+          struct(col("q"), (-col("member")).as("neg"))).as("keep_id"))
+  }
+}
