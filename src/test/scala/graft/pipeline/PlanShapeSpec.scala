@@ -107,4 +107,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s.sql("DROP TABLE IF EXISTS g_lineitem_b")
     }
   }
+
+  test("winnowing fingerprint stage plans with ZERO exchanges") {
+    // the fingerprint kernel is row-local; shuffles happen only when a
+    // caller explodes into buckets — the signal stage itself must stay
+    // a pure map over the scan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.Winnowing.withFingerprints(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"fingerprint stage must not shuffle:\n$plan")
+  }
+
+  test("domain cap: rank-limit pushes a PARTIAL WindowGroupLimit below " +
+      "the single exchange; salted variant adds exactly one") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 5).cast("string")).as("host"),
+        col("n_chars").as("quality"))
+    val order = Seq(col("quality").desc, col("doc_id").asc)
+    // default path: ONE exchange, map-side top-k done by the optimizer
+    val plan = graft.ops.DomainCap.cap(docs, 3, order, col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected 1 shuffle:\n$plan")
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank-limit pushdown missing — hot hosts would cross the " +
+        s"exchange unpruned:\n$plan")
+    // salted path: one extra exchange for the (host, salt) pre-phase
+    val salted = graft.ops.DomainCap.cap(docs, 3, order, col("doc_id"),
+      salts = 8).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(salted).length == 2,
+      s"expected 2 shuffles:\n$salted")
+  }
 }
