@@ -1127,6 +1127,62 @@ object SparkEntry {
         Seq(col("quality").desc, col("doc_id").asc), col("doc_id"))
         .select(col("host"), col("doc_id"), col("quality"))
         .orderBy(col("host"), col("doc_id"))
+    }),
+
+    // ---- quality-tier extraction (CC-Net head/middle/tail) ---------------
+    // train a top-16 unigram vocabulary on the corpus (one
+    // map-combinable word count, K-bounded collect), score every doc
+    // with the integer mean-token-frequency kernel (zero shuffles,
+    // broadcast vocab; OOV = 1 — topK 16 < the 31-word corpus vocab, so
+    // the OOV path is EXERCISED), then cut per-language ntile(3) tiers.
+    // Integer end to end — the oracle retrains the vocabulary and
+    // recomputes every score and tier from scratch in SQL, so trainer,
+    // scorer, or tiering drift turns the row red. The approx cut-point
+    // scale path is spec-gated against this exact twin.
+    "x_quality_tiers" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val scored = graft.ops.QualityTiers.scoreSelf(docs, "text", topK = 16)
+      graft.ops.QualityTiers.tiersExact(scored, "lang", "score", "doc_id")
+        .select(col("doc_id"), col("lang"), col("score"), col("tier"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- benchmark decontamination ----------------------------------------
+    // test-set-leakage guard: the "benchmark" is 12-word snippets (words
+    // 3-14) of every 37th document — built with the identical slicing
+    // expression on both sides — and a document is contaminated when any
+    // of its word 8-grams appears in the benchmark's 8-gram set. The
+    // Spark side runs the broadcast-set kernel (bounded pre-collect,
+    // zero shuffles); the oracle rebuilds the benchmark and recounts
+    // every overlap with plain SQL joins. The non-broadcast shuffle twin
+    // is spec-pinned to identical output.
+    "x_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select(array_join(
+          slice(filter(split(col("text"), " "), w => length(w) > 0),
+            lit(3), lit(12)), " ").as("text"))
+      graft.ops.Decontaminate.contamination(docs, "doc_id", "text",
+        bench, "text", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- training-sequence packing -----------------------------------------
+    // concat-and-split batching: global token offsets via the bucketed
+    // two-level prefix sum (bucketSpan 64 → 8 buckets at sf0.01, so the
+    // decomposition is real), sequences of 256 tokens. The oracle
+    // recomputes the layout with the naive global running-sum window —
+    // any bucket-boundary bug shifts an offset and turns the row red.
+    "x_seq_pack" -> ((s, dir) => {
+      val tok = t(s, dir, "documents").select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_tokens"))
+      graft.ops.SeqPack.pack(tok, "doc_id", "n_tokens", seqLen = 256,
+        bucketSpan = 64)
+        .select(col("doc_id"), col("n_tokens"), col("token_start"),
+          col("seq_start"), col("seq_offset"), col("seqs_spanned"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2012,7 +2068,63 @@ object SparkEntry {
         "r AS (SELECT *, row_number() OVER (PARTITION BY host " +
         "ORDER BY quality DESC, doc_id ASC) AS rn FROM u) " +
         "SELECT host, doc_id, CAST(quality AS BIGINT) AS quality " +
-        "FROM r WHERE rn <= 3 ORDER BY host, doc_id")
+        "FROM r WHERE rn <= 3 ORDER BY host, doc_id"),
+
+    // quality tiers: retrain the top-16 vocabulary, rescore every doc
+    // (integer mean token frequency, OOV=1), recut per-language ntile(3)
+    "x_quality_tiers" ->
+      ("WITH nz AS (SELECT doc_id, unnest(list_filter(" +
+        "string_split(text, ' '), w -> w <> '')) AS w FROM documents), " +
+        "fr AS (SELECT w, count(*) AS c FROM nz GROUP BY 1), " +
+        "vk AS (SELECT w, c FROM (SELECT w, c, row_number() OVER " +
+        "(ORDER BY c DESC, w ASC) AS rk FROM fr) WHERE rk <= 16), " +
+        "ds AS (SELECT nz.doc_id, sum(coalesce(vk.c, 1)) AS sum_freq, " +
+        "count(*) AS n_tokens FROM nz LEFT JOIN vk ON nz.w = vk.w " +
+        "GROUP BY 1), " +
+        "sc AS (SELECT d.doc_id, d.lang, CAST(coalesce(ds.sum_freq, 0) " +
+        "// greatest(coalesce(ds.n_tokens, 0), 1) AS BIGINT) AS score " +
+        "FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id) " +
+        "SELECT doc_id, lang, score, CAST(ntile(3) OVER (PARTITION BY " +
+        "lang ORDER BY score DESC, doc_id ASC) AS BIGINT) AS tier " +
+        "FROM sc ORDER BY doc_id"),
+
+    // decontamination: rebuild the benchmark snippets (words 3-14 of
+    // every 37th doc), re-derive both 8-gram sets, recount overlaps
+    "x_decontaminate" ->
+      ("WITH dw AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "w -> w <> '') AS ws FROM documents), " +
+        "bs AS (SELECT ws[3:14] AS ws FROM dw WHERE doc_id % 37 = 0), " +
+        "bn AS (SELECT DISTINCT array_to_string(" +
+        "ws[CAST(i + 1 AS BIGINT):CAST(i + 8 AS BIGINT)], ' ') AS g " +
+        "FROM bs, UNNEST(range(greatest(len(ws) - 7, 0))) t(i)), " +
+        "dg AS (SELECT doc_id, array_to_string(" +
+        "ws[CAST(i + 1 AS BIGINT):CAST(i + 8 AS BIGINT)], ' ') AS g " +
+        "FROM dw, UNNEST(range(greatest(len(ws) - 7, 0))) t(i)), " +
+        "h AS (SELECT dg.doc_id, count(*) AS total, " +
+        "CAST(sum(CASE WHEN bn.g IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS hits FROM dg LEFT JOIN bn ON dg.g = bn.g " +
+        "GROUP BY 1) " +
+        "SELECT d.doc_id, CAST(coalesce(h.total, 0) AS BIGINT) " +
+        "AS ngrams_total, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits, " +
+        "coalesce(h.hits, 0) > 0 AS contaminated " +
+        "FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id " +
+        "ORDER BY d.doc_id"),
+
+    // sequence packing: the naive global running-sum window recomputes
+    // the bucketed two-level prefix layout
+    "x_seq_pack" ->
+      ("WITH tk AS (SELECT doc_id, CAST(len(list_filter(" +
+        "string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, n_tokens, CAST(coalesce(sum(n_tokens) " +
+        "OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS BIGINT) AS token_start FROM tk) " +
+        "SELECT doc_id, n_tokens, token_start, " +
+        "CAST(token_start // 256 AS BIGINT) AS seq_start, " +
+        "CAST(token_start % 256 AS BIGINT) AS seq_offset, " +
+        "CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE " +
+        "(token_start + n_tokens - 1) // 256 - token_start // 256 + 1 " +
+        "END AS BIGINT) AS seqs_spanned FROM p ORDER BY doc_id")
   )
 
   /** DuckDB rendering of [[qualityScoreE6]] — identical operation order. */
