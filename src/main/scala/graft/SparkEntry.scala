@@ -1183,6 +1183,45 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("token_start"),
           col("seq_start"), col("seq_offset"), col("seqs_spanned"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- data-mixture sampling ---------------------------------------
+    // domain reweighting (The Pile / DoReMi stage): per-source e6 rates
+    // derived deterministically from the alphabetical source rank
+    // (0, 0.4, 0.8, 1.2, 1.6, 2.0 cycling — exercising drop, down-,
+    // keep- and up-sample paths), applied with the exact-integer Lehmer
+    // draw. Zero wide shuffles scan→output (broadcast weights + per-row
+    // explode; MixingSpec pins the plan). The oracle recomputes every
+    // copy count and training-order shuffle key from the documented LCG
+    // arithmetic — one flipped draw anywhere turns the row red.
+    "x_mixture_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val weights = docs.select(col("source")).distinct()
+        .withColumn("rn", row_number().over(Window.orderBy(col("source"))))
+        .select(col("source"),
+          (((col("rn") - 1) % 6) * 400000L).cast("long").as("weight_e6"))
+      graft.ops.Mixing.sampleMixture(docs, "source", "doc_id", weights)
+        .select(col("doc_id"), col("source"), col("n_copies"), col("copy"),
+          col("shuffle_key"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
+    // ---- DSIR importance resampling ------------------------------------
+    // "looks like the target" selection (Xie et al. 2023): target = every
+    // 23rd document, raw = all; per-token e6 importance ratios with
+    // add-one smoothing, per-doc integer mean weight, top quarter
+    // selected. Integer end to end — the oracle retrains BOTH unigram
+    // models and recomputes every weight, score, and the ntile cut from
+    // scratch, so trainer, scorer, or selection drift turns the row red.
+    "x_dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val target = docs.filter(col("doc_id") % 23 === 0)
+      val weights = graft.ops.Dsir.importanceWeights(docs, target, "text")
+      val scored = graft.ops.Dsir.scoreDocs(docs, "doc_id", "text", weights)
+      graft.ops.Dsir.selectTopFraction(scored, "doc_id", nTiles = 4)
+        .select(col("doc_id"), col("n_tokens"), col("score"),
+          col("selected"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2124,7 +2163,52 @@ object SparkEntry {
         "CAST(token_start % 256 AS BIGINT) AS seq_offset, " +
         "CAST(CASE WHEN n_tokens = 0 THEN 0 ELSE " +
         "(token_start + n_tokens - 1) // 256 - token_start // 256 + 1 " +
-        "END AS BIGINT) AS seqs_spanned FROM p ORDER BY doc_id")
+        "END AS BIGINT) AS seqs_spanned FROM p ORDER BY doc_id"),
+
+    // mixture sampling: re-derive the per-source rates, replay the
+    // Lehmer draws (lcg(x) = ((x % m + 1) % m) * 48271 % m, m = 2^31-1),
+    // re-expand the copies, recompute every shuffle key
+    "x_mixture_sample" ->
+      ("WITH w AS (SELECT source, CAST(((row_number() OVER " +
+        "(ORDER BY source)) - 1) % 6 * 400000 AS BIGINT) AS weight_e6 " +
+        "FROM (SELECT DISTINCT source FROM documents)), " +
+        "d AS (SELECT doc_id, dd.source, weight_e6, " +
+        "CAST(weight_e6 // 1000000 AS BIGINT) + CASE WHEN " +
+        "(((doc_id % 2147483647) + 1) % 2147483647) * 48271 " +
+        "% 2147483647 % 1000000 < weight_e6 % 1000000 " +
+        "THEN 1 ELSE 0 END AS n_copies " +
+        "FROM documents dd JOIN w ON dd.source = w.source), " +
+        "e AS (SELECT doc_id, source, n_copies, CAST(i AS BIGINT) AS copy " +
+        "FROM d, UNNEST(range(n_copies)) t(i) WHERE n_copies > 0) " +
+        "SELECT doc_id, source, n_copies, copy, " +
+        "CAST((((((doc_id % 2147483647) * 2654435761 + copy * 1299721) " +
+        "% 2147483647) + 1) % 2147483647) * 48271 % 2147483647 " +
+        "AS BIGINT) AS shuffle_key " +
+        "FROM e ORDER BY doc_id, copy"),
+
+    // DSIR: retrain the raw and target unigram models, recompute the
+    // add-one-smoothed e6 ratio weights, rescore, recut the top quarter
+    "x_dsir_sample" ->
+      ("WITH tok AS (SELECT doc_id, unnest(list_filter(" +
+        "string_split(text, ' '), w -> w <> '')) AS token FROM documents), " +
+        "rc AS (SELECT token, count(*) AS cnt_raw FROM tok GROUP BY 1), " +
+        "tc AS (SELECT token, count(*) AS cnt_target FROM tok " +
+        "WHERE doc_id % 23 = 0 GROUP BY 1), " +
+        "wt AS (SELECT rc.token, CAST((coalesce(tc.cnt_target, 0) + 1) " +
+        "* 1000000 // (rc.cnt_raw + 1) AS BIGINT) AS weight_e6 " +
+        "FROM rc LEFT JOIN tc ON rc.token = tc.token), " +
+        "dtc AS (SELECT doc_id, token, count(*) AS n FROM tok " +
+        "GROUP BY 1, 2), " +
+        "sc AS (SELECT dtc.doc_id, sum(dtc.n * coalesce(wt.weight_e6, " +
+        "1000000)) AS sum_w, sum(dtc.n) AS n_tokens FROM dtc " +
+        "LEFT JOIN wt ON dtc.token = wt.token GROUP BY 1), " +
+        "fin AS (SELECT d.doc_id, CAST(coalesce(sc.n_tokens, 0) " +
+        "AS BIGINT) AS n_tokens, CAST(coalesce(sc.sum_w // sc.n_tokens, " +
+        "0) AS BIGINT) AS score FROM documents d " +
+        "LEFT JOIN sc ON d.doc_id = sc.doc_id) " +
+        "SELECT doc_id, n_tokens, score, ntile(4) OVER " +
+        "(ORDER BY score DESC, doc_id ASC) = 1 AS selected " +
+        "FROM fin ORDER BY doc_id")
   )
 
   /** DuckDB rendering of [[qualityScoreE6]] — identical operation order. */

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Mixing: deterministic copy counts, the LCG draws, mixture stats, and
+  * the training-order shuffle. */
+class MixingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-mixing-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def docsOf(n: Int) =
+    (0L until n.toLong).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "domain")
+
+  test("integer rates are exact: weight 2e6 duplicates, 1e6 keeps, 0 drops") {
+    val docs = docsOf(40)
+    val weights = Seq(("a", 2000000L), ("b", 1000000L))
+      .toDF("domain", "weight_e6")
+    val got = Mixing.sampleMixture(docs, "domain", "doc_id", weights)
+      .groupBy("domain").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 40L, "b" -> 20L))
+
+    val zero = Seq(("a", 0L), ("b", 0L)).toDF("domain", "weight_e6")
+    assert(Mixing.sampleMixture(docs, "domain", "doc_id", zero).count() == 0)
+  }
+
+  test("missing domain defaults to rate 0 (dropped)") {
+    val docs = docsOf(10)
+    val weights = Seq(("a", 1000000L)).toDF("domain", "weight_e6")
+    val got = Mixing.sampleMixture(docs, "domain", "doc_id", weights)
+      .select("domain").distinct().as[String].collect().toSeq
+    assert(got == Seq("a"))
+  }
+
+  test("fractional rates land near target and are deterministic") {
+    val docs = (0L until 2000L).map(i => (i, "a")).toDF("doc_id", "domain")
+    val weights = Seq(("a", 1500000L)).toDF("domain", "weight_e6")
+    val n1 = Mixing.sampleMixture(docs, "domain", "doc_id", weights).count()
+    val n2 = Mixing.sampleMixture(docs, "domain", "doc_id", weights).count()
+    assert(n1 == n2, "same input must produce identical output")
+    // expected 3000 +- a few percent (LCG uniformity, not RNG luck)
+    assert(math.abs(n1 - 3000L) < 150L, s"got $n1, expected ~3000")
+  }
+
+  test("copy indexes are 0..n_copies-1 and n_copies matches the rate") {
+    val docs = docsOf(30)
+    val weights = Seq(("a", 2500000L), ("b", 300000L))
+      .toDF("domain", "weight_e6")
+    val rows = Mixing.sampleMixture(docs, "domain", "doc_id", weights)
+      .select("doc_id", "n_copies", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (_, copies) =>
+      val n = copies.head._2
+      assert(copies.map(_._3).sorted.toSeq == (0L until n).toSeq)
+    }
+    // domain a: every doc gets 2 or 3 copies
+    rows.filter(_._1 % 2 == 0).foreach { case (id, n, _) =>
+      assert(n == 2L || n == 3L, s"doc $id n_copies=$n")
+    }
+  }
+
+  test("lcg draws replay the documented arithmetic (the oracle contract)") {
+    def lcgRef(x: Long, salt: Long): Long = {
+      val m = 2147483647L
+      val saltR = ((salt % m) + m + 1L) % m
+      (((x % m) + saltR) % m) * 48271L % m
+    }
+    val ids = Seq(0L, 1L, 7L, 999999L, 2147483646L, 5000000000L)
+    val got = ids.toDF("id")
+      .select(col("id"), Mixing.lcg(col("id"), 0L).as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(i => assert(got(i) == lcgRef(i, 0L), s"id=$i"))
+  }
+
+  test("shuffleKey is deterministic, copy-sensitive, and in range") {
+    val df = Seq((1L, 0L), (1L, 1L), (2L, 0L)).toDF("id", "copy")
+    val got = df.select(
+      Mixing.shuffleKey(col("id"), col("copy"), 0L).as("k"))
+      .as[Long].collect().toSeq
+    assert(got.distinct.size == 3, "copies of one doc must scatter")
+    assert(got.forall(k => k >= 0 && k < Mixing.LcgMod))
+  }
+
+  test("shuffleKey is exact for very large ids (no ANSI overflow)") {
+    val df = Seq((Long.MaxValue - 1, 0L)).toDF("id", "copy")
+    val k = df.select(Mixing.shuffleKey(col("id"), col("copy"), 0L))
+      .as[Long].head()
+    assert(k >= 0 && k < Mixing.LcgMod)
+  }
+
+  test("mixtureStats reports achieved e6 rates, zero for dropped domains") {
+    val docs = docsOf(40)
+    val weights = Seq(("a", 2000000L), ("b", 0L))
+      .toDF("domain", "weight_e6")
+    val sampled = Mixing.sampleMixture(docs, "domain", "doc_id", weights)
+    val got = Mixing.mixtureStats(docs, sampled, "domain")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("a") == ((20L, 40L, 2000000L)))
+    assert(got("b") == ((20L, 0L, 0L)))
+  }
+
+  test("orderForTraining: ordered read-back equals the shuffle_key sort") {
+    val docs = (0L until 400L).map(i => (i, "a")).toDF("doc_id", "domain")
+    val weights = Seq(("a", 1700000L)).toDF("domain", "weight_e6")
+    val sampled = Mixing.sampleMixture(docs, "domain", "doc_id", weights)
+    val ordered = Mixing.orderForTraining(sampled, 4)
+    // partitions are contiguous ranges: concatenating them in partition
+    // order yields the globally sorted sequence
+    val perPart = ordered.select(spark_partition_id().as("p"),
+      col("shuffle_key"), col("copy"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val concat = perPart.sortBy(_._1).toSeq // stable: keeps within-part order
+    val globallySorted = perPart.sortBy(t => (t._2, t._3)).toSeq
+    assert(concat.map(t => (t._2, t._3)) ==
+      globallySorted.map(t => (t._2, t._3)))
+  }
+
+  test("sampling is a zero-wide-shuffle plan (broadcast join only)") {
+    val docs = docsOf(50)
+    val weights = Seq(("a", 1000000L), ("b", 500000L))
+      .toDF("domain", "weight_e6")
+    val plan = Mixing.sampleMixture(docs, "domain", "doc_id", weights)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected wide shuffle:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"unexpected sort shuffle:\n$plan")
+  }
+}
