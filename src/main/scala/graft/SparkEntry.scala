@@ -1222,6 +1222,24 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("score"),
           col("selected"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- exact duplicated-span removal ----------------------------------
+    // the ExactSubstr recipe (Lee et al., ACL 2022) as the sliding
+    // 12-gram join: duplicated grams elect a (doc, pos) winner, every
+    // other occurrence cuts its 12 positions, overlapping cuts merge,
+    // documents are rebuilt from surviving tokens. String-keyed here so
+    // the oracle can replay EVERYTHING — winners, coverage, and the md5
+    // of every rebuilt document (the production default is the hashed
+    // 3-longs-per-position shuffle; ExactSubstrSpec pins the variants
+    // identical).
+    "x_exact_substr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.ExactSubstr.removeDuplicatedSpans(docs, "doc_id", "text",
+        n = 12, hashed = false)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("kept_text")).as("kept_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2208,7 +2226,37 @@ object SparkEntry {
         "LEFT JOIN sc ON d.doc_id = sc.doc_id) " +
         "SELECT doc_id, n_tokens, score, ntile(4) OVER " +
         "(ORDER BY score DESC, doc_id ASC) = 1 AS selected " +
-        "FROM fin ORDER BY doc_id")
+        "FROM fin ORDER BY doc_id"),
+
+    // exact duplicated-span removal: re-derive every sliding 12-gram,
+    // re-elect winners, re-merge coverage, rebuild every document and
+    // md5 it — a drift anywhere in the span pipeline flips a hash
+    "x_exact_substr" ->
+      ("WITH dw AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "w -> w <> '') AS ws FROM documents), " +
+        "oc AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, " +
+        "array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 12 AS " +
+        "BIGINT)], ' ') AS g " +
+        "FROM dw, UNNEST(range(greatest(len(ws) - 11, 0))) t(i)), " +
+        "dup AS (SELECT g FROM oc GROUP BY g HAVING count(*) > 1), " +
+        "ranked AS (SELECT oc.doc_id, oc.pos, row_number() OVER " +
+        "(PARTITION BY oc.g ORDER BY oc.doc_id, oc.pos) AS rn " +
+        "FROM oc JOIN dup ON oc.g = dup.g), " +
+        "cov AS (SELECT DISTINCT doc_id, pos + CAST(j AS BIGINT) " +
+        "AS position FROM ranked, UNNEST(range(12)) t(j) WHERE rn > 1), " +
+        "tp AS (SELECT doc_id, CAST(i AS BIGINT) AS position, " +
+        "ws[CAST(i + 1 AS BIGINT)] AS tok " +
+        "FROM dw, UNNEST(range(len(ws))) t(i)), " +
+        "kept AS (SELECT tp.doc_id, count(*) AS n_kept, " +
+        "string_agg(tp.tok, ' ' ORDER BY tp.position) AS kept_text " +
+        "FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND " +
+        "tp.position = cov.position WHERE cov.doc_id IS NULL " +
+        "GROUP BY tp.doc_id) " +
+        "SELECT dw.doc_id, CAST(len(dw.ws) AS BIGINT) AS n_tokens, " +
+        "CAST(len(dw.ws) - coalesce(kept.n_kept, 0) AS BIGINT) " +
+        "AS n_removed, md5(coalesce(kept.kept_text, '')) AS kept_md5 " +
+        "FROM dw LEFT JOIN kept ON dw.doc_id = kept.doc_id " +
+        "ORDER BY dw.doc_id")
   )
 
   /** DuckDB rendering of [[qualityScoreE6]] — identical operation order. */
