@@ -1224,6 +1224,62 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- JSONL sink roundtrip -------------------------------------------
+    // the LLM-corpus interchange format: documents written as one
+    // .jsonl.gz per partition (to_json lines, attempt-temp + rename
+    // commit) and read back by Spark's JSON reader must carry every
+    // (doc_id, text) byte-exactly. A TRUE cross-engine oracle — DuckDB
+    // computes the same order-independent fingerprint (bit_xor of a
+    // 60-bit md5 prefix) straight off the parquet table, so any
+    // serialization, escaping, or commit loss flips the xor. Evaluated
+    // eagerly so the temp dir is deleted before returning.
+    "x_jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+      try {
+        // 4 partitions keyed on the raw doc_id (murmur3 spreads 500+
+        // docs over all 4 — deterministic, so jsonl_files pins at 4)
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(4, col("doc_id"))
+        val files = graft.sources.Jsonl.write(docs, s"$base/out")
+        val back = s.read.schema("doc_id LONG, text STRING")
+          .json(s"$base/out")
+        val fp = expr("conv(substring(md5(concat(cast(doc_id AS string), " +
+          "':', text)), 1, 15), 16, 10)").cast("long")
+        val r = back.agg(
+          count(lit(1)).as("docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          bit_xor(fp).as("fp_xor")).as[(Long, Long, Long)].head()
+        Seq((r._1, r._2, r._3, files.length.toLong))
+          .toDF("docs", "total_chars", "fp_xor", "jsonl_files")
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }),
+
+    // ---- token-budget mixture rates ---------------------------------------
+    // the mixture SOLVER: per-source token masses + target budget shares
+    // (rank-proportional, rn/210 of a 10k-token budget) → the e6 rates
+    // sampleMixture would run. Exact long arithmetic end to end; the
+    // oracle recomputes masses, shares, rates, and expected token draws.
+    "x_mixture_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), w => length(w) > 0))
+          .cast("long").as("n_tokens"))
+      val tokens = docs.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("tokens"))
+      val props = docs.select(col("source")).distinct()
+        .withColumn("rn", row_number().over(Window.orderBy(col("source"))))
+        .select(col("source"),
+          expr("CAST(rn AS BIGINT) * 1000000 DIV 210").as("prop_e6"))
+      graft.ops.Mixing.ratesForBudget(tokens, props, "source", 10000L)
+        .select(col("source"), col("tokens"), col("weight_e6"),
+          expr("weight_e6 * tokens DIV 1000000").as("expected_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ---- exact duplicated-span removal ----------------------------------
     // the ExactSubstr recipe (Lee et al., ACL 2022) as the sliding
     // 12-gram join: duplicated grams elect a (doc, pos) winner, every
@@ -2227,6 +2283,33 @@ object SparkEntry {
         "SELECT doc_id, n_tokens, score, ntile(4) OVER " +
         "(ORDER BY score DESC, doc_id ASC) = 1 AS selected " +
         "FROM fin ORDER BY doc_id"),
+
+    // JSONL roundtrip: DuckDB computes the identical order-independent
+    // fingerprint straight off the parquet source; equality proves the
+    // write→read path lossless. 60-bit md5 prefix keeps bit_xor exact.
+    "x_jsonl_roundtrip" ->
+      ("SELECT CAST(count(*) AS BIGINT) AS docs, " +
+        "CAST(sum(len(text)) AS BIGINT) AS total_chars, " +
+        "CAST(bit_xor(CAST(concat('0x', substr(md5(concat(" +
+        "CAST(doc_id AS VARCHAR), ':', text)), 1, 15)) AS BIGINT)) " +
+        "AS BIGINT) AS fp_xor, CAST(4 AS BIGINT) AS jsonl_files " +
+        "FROM documents"),
+
+    // mixture budget solver: recompute per-source token masses,
+    // rank-proportional shares, rates, and expected draws
+    "x_mixture_budget" ->
+      ("WITH tk AS (SELECT source, CAST(sum(len(list_filter(" +
+        "string_split(text, ' '), w -> w <> ''))) AS BIGINT) AS tokens " +
+        "FROM documents GROUP BY 1), " +
+        "pr AS (SELECT source, CAST(row_number() OVER (ORDER BY source) " +
+        "AS BIGINT) * 1000000 // 210 AS prop_e6 " +
+        "FROM (SELECT DISTINCT source FROM documents)), " +
+        "rt AS (SELECT tk.source, tk.tokens, CAST(10000 * " +
+        "coalesce(pr.prop_e6, 0) // tk.tokens AS BIGINT) AS weight_e6 " +
+        "FROM tk JOIN pr ON tk.source = pr.source WHERE tk.tokens > 0) " +
+        "SELECT source, tokens, weight_e6, CAST(weight_e6 * tokens " +
+        "// 1000000 AS BIGINT) AS expected_tokens FROM rt " +
+        "ORDER BY source"),
 
     // exact duplicated-span removal: re-derive every sliding 12-gram,
     // re-elect winners, re-merge coverage, rebuild every document and

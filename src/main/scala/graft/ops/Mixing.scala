@@ -102,6 +102,30 @@ object Mixing {
         expr("rows_sampled * 1000000 DIV rows_in"))
   }
 
+  /** Derive per-domain rates from a TOKEN budget: `domainTokens` is
+    * (domainCol, tokens), `propsE6` is (domainCol, prop_e6) — the target
+    * share of the budget, e6-scaled. The rate that makes domain d's
+    * expected token draw equal `budget * prop_d` is
+    * `budget * prop_d / tokens_d`; e6-scaled and floored:
+    * `weight_e6 = budget * prop_e6 DIV tokens`. Exact long arithmetic
+    * bounds the budget at ~9.2e12 tokens (9 trillion — above any
+    * published training run; the guard fails loudly, never wraps).
+    * Output: (domainCol, tokens, weight_e6) — feed straight into
+    * [[sampleMixture]]. Domains with a prop but no tokens are dropped
+    * (nothing to sample); domains with tokens but no prop get rate 0. */
+  def ratesForBudget(domainTokens: DataFrame, propsE6: DataFrame,
+      domainCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budget must be >= 0 (got $budgetTokens)")
+    require(budgetTokens <= 9000000000000L,
+      s"budget $budgetTokens exceeds the exact-arithmetic bound 9e12")
+    domainTokens
+      .join(broadcast(propsE6), Seq(domainCol), "left")
+      .filter(col("tokens") > 0)
+      .select(col(domainCol), col("tokens"),
+        expr(s"$budgetTokens * coalesce(prop_e6, 0) DIV tokens")
+          .as("weight_e6"))
+  }
+
   /** Globally shuffle sampled rows into training order: ONE range
     * repartition on the uniform shuffle key, then a per-partition-local
     * sort — the standard "global shuffle before sharding" step. Output

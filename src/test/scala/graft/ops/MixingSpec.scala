@@ -110,6 +110,51 @@ class MixingSpec extends AnyFunSuite {
     assert(got("b") == ((20L, 0L, 0L)))
   }
 
+  test("ratesForBudget: exact e6 rates from token budget and shares") {
+    val tokens = Seq(("a", 1000L), ("b", 4000L), ("c", 0L))
+      .toDF("domain", "tokens")
+    val props = Seq(("a", 500000L), ("b", 500000L), ("zz", 900000L))
+      .toDF("domain", "prop_e6")
+    val got = Mixing.ratesForBudget(tokens, props, "domain", 2000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // a: 2000*0.5/1000 = rate 1.0; b: 2000*0.5/4000 = 0.25
+    assert(got == Map("a" -> ((1000L, 1000000L)),
+      "b" -> ((4000L, 250000L))))
+  }
+
+  test("ratesForBudget: domain without a prop gets rate 0; budget bound") {
+    val tokens = Seq(("a", 100L)).toDF("domain", "tokens")
+    val props = Seq(("b", 1000000L)).toDF("domain", "prop_e6")
+    val got = Mixing.ratesForBudget(tokens, props, "domain", 500L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 0L))
+    intercept[IllegalArgumentException] {
+      Mixing.ratesForBudget(tokens, props, "domain", 10000000000000L)
+    }
+  }
+
+  test("budgeted rates drive sampling to the requested token split") {
+    // domain a: 300 docs x 10 tokens; domain b: 100 docs x 30 tokens —
+    // equal token mass; ask for a 75/25 token split of a 3000 budget
+    val docs = ((0L until 300L).map(i => (i, "a", 10L)) ++
+      (300L until 400L).map(i => (i, "b", 30L)))
+      .toDF("doc_id", "domain", "n_tokens")
+    val tokens = docs.groupBy("domain")
+      .agg(sum(col("n_tokens")).as("tokens"))
+    val props = Seq(("a", 750000L), ("b", 250000L))
+      .toDF("domain", "prop_e6")
+    val rates = Mixing.ratesForBudget(tokens, props, "domain", 3000L)
+      .select("domain", "weight_e6")
+    val sampled = Mixing.sampleMixture(docs, "domain", "doc_id", rates)
+    val gotTokens = sampled.groupBy("domain")
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets: a = 2250 tokens, b = 750 tokens (LCG draws, small jitter)
+    assert(math.abs(gotTokens("a") - 2250L) <= 200L, s"a=${gotTokens("a")}")
+    assert(math.abs(gotTokens("b") - 750L) <= 200L, s"b=${gotTokens("b")}")
+  }
+
   test("orderForTraining: ordered read-back equals the shuffle_key sort") {
     val docs = (0L until 400L).map(i => (i, "a")).toDF("doc_id", "domain")
     val weights = Seq(("a", 1700000L)).toDF("domain", "weight_e6")
