@@ -1280,6 +1280,20 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- train/val/test split assignment ------------------------------
+    // leakage-proof hash splitting: 80/10/10 by the per-id Lehmer draw
+    // (salt 7 keeps split draws independent of mixture draws). Pure
+    // function of doc_id — re-sharding the corpus can never move a
+    // document across splits. The oracle replays the LCG and the
+    // cumulative CASE from scratch.
+    "x_split_assign" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      graft.ops.Mixing.assignSplits(docs, "doc_id",
+        Seq(("train", 800000L), ("val", 100000L), ("test", 100000L)))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- exact duplicated-span removal ----------------------------------
     // the ExactSubstr recipe (Lee et al., ACL 2022) as the sliding
     // 12-gram join: duplicated grams elect a (doc, pos) winner, every
@@ -2310,6 +2324,16 @@ object SparkEntry {
         "SELECT source, tokens, weight_e6, CAST(weight_e6 * tokens " +
         "// 1000000 AS BIGINT) AS expected_tokens FROM rt " +
         "ORDER BY source"),
+
+    // split assignment: replay the salt-7 Lehmer draw
+    // (saltR = ((7 % m) + m + 1) % m = 8) and the cumulative CASE
+    "x_split_assign" ->
+      ("WITH u AS (SELECT doc_id, lang, " +
+        "(((doc_id % 2147483647) + 8) % 2147483647) * 48271 " +
+        "% 2147483647 % 1000000 AS draw FROM documents) " +
+        "SELECT doc_id, lang, CASE WHEN draw < 800000 THEN 'train' " +
+        "WHEN draw < 900000 THEN 'val' ELSE 'test' END AS split " +
+        "FROM u ORDER BY doc_id"),
 
     // exact duplicated-span removal: re-derive every sliding 12-gram,
     // re-elect winners, re-merge coverage, rebuild every document and

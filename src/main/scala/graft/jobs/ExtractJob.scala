@@ -20,7 +20,7 @@ object ExtractJob {
 
   private val KnownOpts =
     Set("input", "output", "lineage", "run-id", "buckets", "narrow",
-      "warc-split-mb", "wet", "cdx")
+      "warc-split-mb", "wet", "cdx", "jsonl")
 
   def main(args: Array[String]): Unit = {
     // strict parsing: a dangling or unknown flag must not silently fall
@@ -30,7 +30,7 @@ object ExtractJob {
       System.err.println(
         "usage: ExtractJob --input <parquet|warc:glob|synth:N> --output <dir> " +
           "--lineage <dir> --run-id <id> [--buckets B] [--narrow true] " +
-          "[--warc-split-mb M] [--wet <dir>] [--cdx true]")
+          "[--warc-split-mb M] [--wet <dir>] [--cdx true] [--jsonl <dir>]")
       sys.exit(2)
     }
     val opts = args.sliding(2, 2).collect {
@@ -128,6 +128,11 @@ object ExtractJob {
         "index the WET output)")
       sys.exit(2)
     }
+    // --jsonl <dir>: additionally publish the run's text as gzipped
+    // JSONL (one JSON object per line — the LLM-corpus interchange
+    // format). Works in both wide and narrow modes (url/text/status
+    // survive narrow pruning).
+    val jsonlDir = opts.get("jsonl")
     val summary =
       ExtractPipeline.run(spark, pages, output, lineage, runId, buckets,
         ExtractPipeline.DefaultSalt, narrowOutput = narrow)
@@ -139,12 +144,20 @@ object ExtractJob {
             org.apache.spark.sql.functions.col("text")), d,
         cdx = cdx).length
     }
+    val jsonlFiles = jsonlDir.map { d =>
+      graft.sources.Jsonl.write(
+        spark.read.parquet(output)
+          .select(org.apache.spark.sql.functions.col("url"),
+            org.apache.spark.sql.functions.col("text"),
+            org.apache.spark.sql.functions.col("status")), d).length
+    }
     // one summary line for the orchestrator
     println(
       s"""{"run_id":"${summary.runId}","buckets":${summary.bucketsTotal},""" +
         s""""skipped":${summary.bucketsSkipped},"processed":${summary.bucketsProcessed},""" +
         s""""docs_in":${summary.docsIn},"docs_out":${summary.docsOut}""" +
-        wetFiles.map(n => s""","wet_files":$n""").getOrElse("") + "}")
+        wetFiles.map(n => s""","wet_files":$n""").getOrElse("") +
+        jsonlFiles.map(n => s""","jsonl_files":$n""").getOrElse("") + "}")
     spark.stop()
   }
 }

@@ -102,6 +102,31 @@ object Mixing {
         expr("rows_sampled * 1000000 DIV rows_in"))
   }
 
+  /** Deterministic train/val/test assignment: `splits` is an ordered
+    * list of (name, fraction_e6) summing to exactly 1e6; a row lands in
+    * the first split whose cumulative fraction exceeds its uniform
+    * draw. Pure function of (id, salt): rerunning, re-reading, or
+    * re-sharding the corpus can never move a document across splits —
+    * the leakage-proof property hash-splitting exists for. The draw is
+    * id-uniform, so expected proportions hold within every domain
+    * (stratification for free at corpus scale). Adds `split`. */
+  def assignSplits(docs: DataFrame, idCol: String,
+      splits: Seq[(String, Long)], salt: Long = 7L): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 >= 0), "split fractions must be >= 0")
+    require(splits.map(_._2).sum == 1000000L,
+      s"split fractions (e6) must sum to 1000000 " +
+        s"(got ${splits.map(_._2).sum})")
+    val u = uE6(col(idCol), salt)
+    val cum = splits.scanLeft(0L)(_ + _._2).tail
+    // u < 1e6 always, so the last branch is total
+    val assigned = splits.zip(cum).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, _), bound)) =>
+        coalesce(acc, when(u < bound, name))
+    }
+    docs.withColumn("split", assigned)
+  }
+
   /** Derive per-domain rates from a TOKEN budget: `domainTokens` is
     * (domainCol, tokens), `propsE6` is (domainCol, prop_e6) — the target
     * share of the budget, e6-scaled. The rate that makes domain d's

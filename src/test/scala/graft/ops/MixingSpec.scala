@@ -110,6 +110,34 @@ class MixingSpec extends AnyFunSuite {
     assert(got("b") == ((20L, 0L, 0L)))
   }
 
+  test("assignSplits: total, deterministic, near-target proportions") {
+    val docs = (0L until 5000L).toDF("doc_id")
+    val splits = Seq(("train", 800000L), ("val", 100000L),
+      ("test", 100000L))
+    val got = Mixing.assignSplits(docs, "doc_id", splits)
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == 5000L, "every row must land in a split")
+    assert(math.abs(got("train") - 4000L) < 200L, s"train=${got("train")}")
+    assert(math.abs(got("val") - 500L) < 120L, s"val=${got("val")}")
+    assert(math.abs(got("test") - 500L) < 120L, s"test=${got("test")}")
+    val again = Mixing.assignSplits(docs, "doc_id", splits)
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("assignSplits: zero-fraction split gets nothing; bad sum rejected") {
+    val docs = (0L until 100L).toDF("doc_id")
+    val got = Mixing.assignSplits(docs, "doc_id",
+      Seq(("a", 1000000L), ("b", 0L)))
+      .select("split").distinct().as[String].collect().toSeq
+    assert(got == Seq("a"))
+    intercept[IllegalArgumentException] {
+      Mixing.assignSplits(docs, "doc_id", Seq(("a", 900000L)))
+    }
+  }
+
   test("ratesForBudget: exact e6 rates from token budget and shares") {
     val tokens = Seq(("a", 1000L), ("b", 4000L), ("c", 0L))
       .toDF("domain", "tokens")
