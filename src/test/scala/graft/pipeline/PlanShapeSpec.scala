@@ -38,6 +38,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pii.contains("Exchange"), s"per-row scrub must not shuffle:\n$pii")
   }
 
+  test("broadcast-state scoring kernels plan with ZERO exchanges") {
+    // QualityTiers scoring (broadcast vocabulary) and Decontaminate
+    // scanning (broadcast benchmark set) are per-row kernels: the plan
+    // must stay one map stage with the scan — a shuffle here would
+    // mean the vocabulary/benchmark leaked into a join
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val score = graft.ops.QualityTiers.scoreDocs(docs, "text",
+      Map("the" -> 10L, "a" -> 5L))
+      .queryExecution.executedPlan.toString
+    assert(!score.contains("Exchange"), s"scoring must not shuffle:\n$score")
+    val cont = graft.ops.Decontaminate.contamination(docs, "doc_id",
+      "text", Set("alpha beta gamma"), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(!cont.contains("Exchange"), s"scan must not shuffle:\n$cont")
+  }
+
   test("broadcast join chosen for dimension tables") {
     val dir = "/root/testdata/sf0.001"
     val plan = graft.SparkEntry.queries("q13_supply_join")(spark, dir)
