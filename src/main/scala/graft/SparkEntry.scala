@@ -1280,6 +1280,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- materialized sequence packing ---------------------------------
+    // the dataloader deliverable: actual 256-token sequences assembled
+    // from document pieces (declarative slice + one groupBy(seq_id)).
+    // The oracle rebuilds the naive global layout, re-slices every
+    // piece, reassembles every sequence and md5s it — any layout,
+    // slicing, or assembly-order bug flips a hash.
+    "x_seq_materialize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.ops.SeqPack.materialize(docs, "doc_id", "text", seqLen = 256,
+        bucketSpan = 64)
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          md5(col("seq_text")).as("seq_md5"))
+        .orderBy(col("seq_id"))
+    }),
+
     // ---- train/val/test split assignment ------------------------------
     // leakage-proof hash splitting: 80/10/10 by the per-id Lehmer draw
     // (salt 7 keeps split draws independent of mixture draws). Pure
@@ -2324,6 +2339,30 @@ object SparkEntry {
         "SELECT source, tokens, weight_e6, CAST(weight_e6 * tokens " +
         "// 1000000 AS BIGINT) AS expected_tokens FROM rt " +
         "ORDER BY source"),
+
+    // materialized packing: naive global prefix layout, re-slice every
+    // (doc, sequence) piece, reassemble in stream order, md5
+    "x_seq_materialize" ->
+      ("WITH dw AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "w -> w <> '') AS ws FROM documents), " +
+        "tk AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n " +
+        "FROM dw WHERE len(ws) > 0), " +
+        "p AS (SELECT doc_id, ws, n, CAST(coalesce(sum(n) OVER " +
+        "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "1 PRECEDING), 0) AS BIGINT) AS ts FROM tk), " +
+        "x AS (SELECT doc_id, ws, n, ts, ts // 256 + CAST(j AS BIGINT) " +
+        "AS seq_id FROM p, UNNEST(range((ts + n - 1) // 256 - " +
+        "ts // 256 + 1)) t(j)), " +
+        "y AS (SELECT seq_id, ts, ws, greatest(ts, seq_id * 256) AS f, " +
+        "least(ts + n, seq_id * 256 + 256) - greatest(ts, seq_id * 256) " +
+        "AS cnt FROM x), " +
+        "z AS (SELECT seq_id, ts, cnt, array_to_string(" +
+        "ws[CAST(f - ts + 1 AS BIGINT):CAST(f - ts + cnt AS BIGINT)], " +
+        "' ') AS piece FROM y) " +
+        "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(cnt) AS BIGINT) AS n_tokens, " +
+        "md5(string_agg(piece, ' ' ORDER BY ts)) AS seq_md5 " +
+        "FROM z GROUP BY seq_id ORDER BY seq_id"),
 
     // split assignment: replay the salt-7 Lehmer draw
     // (saltR = ((7 % m) + m + 1) % m = 8) and the cumulative CASE

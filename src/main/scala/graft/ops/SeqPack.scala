@@ -78,6 +78,47 @@ object SeqPack {
               col("seq_start") + 1L))
   }
 
+  /** Materialize the packed stream — the dataloader deliverable: per
+    * sequence, the actual tokens in stream order. Each document
+    * explodes into its (sequence, token-slice) pieces — bounded fan-out
+    * (`ceil(tokens/seqLen)+1` per document), computed with declarative
+    * `slice` on the split array so nothing leaves codegen — and ONE
+    * groupBy(seq_id) assembles every sequence from its pieces sorted by
+    * stream offset. Output: (seq_id, n_docs, n_tokens, seq_text) —
+    * the tail sequence may be partial. Token identity is whatever
+    * whitespace tokenization of `textCol` yields (ids come from a real
+    * tokenizer upstream at cluster scale; the LAYOUT math is the
+    * operator). */
+  def materialize(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Long, bucketSpan: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive (got $seqLen)")
+    val ws = filter(split(col(textCol), " "), t => length(t) > 0)
+    val packed = pack(
+      docs.withColumn("__ws", ws)
+        .withColumn("__n", size(col("__ws")).cast("long")),
+      idCol, "__n", seqLen, bucketSpan)
+      .filter(col("__n") > 0L)
+    packed
+      .select(col("token_start"), col("__ws"), col("__n"),
+        explode(sequence(col("seq_start"),
+          col("seq_start") + col("seqs_spanned") - 1L)).as("seq_id"))
+      .withColumn("__seq_lo", col("seq_id") * seqLen)
+      .withColumn("__from",
+        greatest(col("token_start"), col("__seq_lo")))
+      .withColumn("__cnt",
+        least(col("token_start") + col("__n"), col("__seq_lo") + seqLen) -
+          col("__from"))
+      .withColumn("__piece",
+        slice(col("__ws"), (col("__from") - col("token_start") + 1L)
+          .cast("int"), col("__cnt").cast("int")))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__cnt")).as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("__from"), col("__piece")))),
+          p => p.getField("__piece"))), " ").as("seq_text"))
+  }
+
   /** Per-sequence occupancy: how many documents contribute to each
     * sequence and how many tokens of it are filled (the tail sequence
     * may be partial). Derived from [[pack]] output by exploding each

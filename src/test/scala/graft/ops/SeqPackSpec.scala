@@ -105,3 +105,52 @@ class SeqPackSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Materialized packing: actual sequence assembly from document
+  * pieces. */
+class SeqMaterializeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-seqmat-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("sequences assemble doc pieces in stream order across boundaries") {
+    val docs = Seq((0L, "a b c"), (1L, "d e"), (2L, "f g h"))
+      .toDF("id", "text")
+    val got = SeqPack.materialize(docs, "id", "text", seqLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    // stream: a b c d | e f g h
+    assert(got == Seq((0L, 2L, 4L, "a b c d"), (1L, 2L, 4L, "e f g h")))
+  }
+
+  test("partial tail sequence; empty docs occupy no stream space") {
+    val docs = Seq((0L, "x y z"), (1L, ""), (2L, "w")).toDF("id", "text")
+    val got = SeqPack.materialize(docs, "id", "text", seqLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, 1L, 3L, "x y z"), (1L, 1L, 1L, "w")))
+  }
+
+  test("concatenating sequences reproduces the document stream " +
+      "(bucket boundaries included)") {
+    val docs = (0L until 90L)
+      .map(i => (i, (0L until (i % 7)).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("id", "text")
+    val seqs = SeqPack.materialize(docs, "id", "text", seqLen = 10,
+      bucketSpan = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(3))
+      .sortBy(_._1).map(_._2)
+    val stream = docs.orderBy("id").collect()
+      .map(_.getString(1)).filter(_.nonEmpty).mkString(" ")
+    assert(seqs.mkString(" ") == stream)
+    // every non-tail sequence is exactly seqLen tokens
+    seqs.dropRight(1).foreach(s =>
+      assert(s.split(" ").length == 10, s"bad seq len: '$s'"))
+  }
+}
