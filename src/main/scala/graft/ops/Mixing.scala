@@ -155,11 +155,16 @@ object Mixing {
     * repartition on the uniform shuffle key, then a per-partition-local
     * sort — the standard "global shuffle before sharding" step. Output
     * partition files read in order give the deterministic training
-    * sequence. */
-  def orderForTraining(sampled: DataFrame, partitions: Int): DataFrame = {
+    * sequence. `idCol` breaks shuffle-key collisions (the key is only
+    * 31 bits — two documents CAN collide, and without a total order the
+    * colliding pair's relative position would depend on input
+    * partitioning). */
+  def orderForTraining(sampled: DataFrame, partitions: Int,
+      idCol: String): DataFrame = {
     require(partitions > 0, s"partitions must be positive (got $partitions)")
     sampled
-      .repartitionByRange(partitions, col("shuffle_key"), col("copy"))
-      .sortWithinPartitions(col("shuffle_key"), col("copy"))
+      .repartitionByRange(partitions, col("shuffle_key"), col(idCol),
+        col("copy"))
+      .sortWithinPartitions(col("shuffle_key"), col(idCol), col("copy"))
   }
 }

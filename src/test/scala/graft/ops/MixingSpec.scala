@@ -187,16 +187,17 @@ class MixingSpec extends AnyFunSuite {
     val docs = (0L until 400L).map(i => (i, "a")).toDF("doc_id", "domain")
     val weights = Seq(("a", 1700000L)).toDF("domain", "weight_e6")
     val sampled = Mixing.sampleMixture(docs, "domain", "doc_id", weights)
-    val ordered = Mixing.orderForTraining(sampled, 4)
+    val ordered = Mixing.orderForTraining(sampled, 4, "doc_id")
     // partitions are contiguous ranges: concatenating them in partition
     // order yields the globally sorted sequence
     val perPart = ordered.select(spark_partition_id().as("p"),
-      col("shuffle_key"), col("copy"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      col("shuffle_key"), col("doc_id"), col("copy"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
     val concat = perPart.sortBy(_._1).toSeq // stable: keeps within-part order
-    val globallySorted = perPart.sortBy(t => (t._2, t._3)).toSeq
-    assert(concat.map(t => (t._2, t._3)) ==
-      globallySorted.map(t => (t._2, t._3)))
+    val globallySorted = perPart.sortBy(t => (t._2, t._3, t._4)).toSeq
+    assert(concat.map(t => (t._2, t._3, t._4)) ==
+      globallySorted.map(t => (t._2, t._3, t._4)))
   }
 
   test("sampling is a zero-wide-shuffle plan (broadcast join only)") {
