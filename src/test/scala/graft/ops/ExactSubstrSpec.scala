@@ -84,6 +84,45 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(h == s)
   }
 
+  test("property: matches a naive in-memory reference on random corpora") {
+    // brute-force reference: enumerate every occurrence, group by gram,
+    // elect min-(doc,pos) winners, cover non-winner spans, rebuild
+    def naive(docs: Seq[(Long, String)], n: Int): Map[Long, String] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.split(" ", -1).filter(_.nonEmpty).toSeq
+      }.toMap
+      val occ = for {
+        (id, ts) <- toks.toSeq
+        i <- 0 to ts.length - n
+        if ts.length >= n
+      } yield (ts.slice(i, i + n).mkString(" "), id, i)
+      val covered = occ.groupBy(_._1).filter(_._2.size > 1).values.flatMap {
+        os =>
+          val win = os.minBy(o => (o._2, o._3))
+          os.filterNot(_ == win)
+            .flatMap(o => (o._3 until o._3 + n).map(p => (o._2, p)))
+      }.toSet
+      toks.map { case (id, ts) =>
+        id -> ts.zipWithIndex
+          .filterNot { case (_, i) => covered((id, i)) }
+          .map(_._1).mkString(" ")
+      }
+    }
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      // small alphabet forces heavy duplication and overlapping spans
+      val docs = (0L until 40L).map { i =>
+        val len = 5 + rnd.nextInt(25)
+        i -> (0 until len).map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+      }
+      val n = 3 + trial // n in {3, 4, 5}
+      val expected = naive(docs, n)
+      val got = run(docs.toDF("id", "text"), n)
+        .map(r => r._1 -> r._4).toMap
+      assert(got == expected, s"trial=$trial n=$n")
+    }
+  }
+
   test("fnv64 is stable and spreads") {
     assert(ExactSubstr.fnv64("a b c") == ExactSubstr.fnv64("a b c"))
     val hs = (0 until 1000).map(i => ExactSubstr.fnv64(s"tok$i x y"))
