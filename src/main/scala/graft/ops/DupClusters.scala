@@ -33,14 +33,31 @@ import org.apache.spark.sql.functions._
   */
 object DupClusters {
 
+  /** Below this many canonical edges the component structure is solved
+    * EXACTLY by one union-find pass in a single executor task (never on
+    * the driver) instead of O(log² n) alternating star rounds — the
+    * same size-aware routing discipline as [[Similarity.lshCrossover]]
+    * / IvfIndex's brute crossover. 4M (long, long) edges ≈ 64 MB of
+    * rows plus an open-addressing parent table — comfortably inside one
+    * task; the iterative path is unchanged above the threshold (a
+    * 10^12-edge graph still runs large-star/small-star). The routes are
+    * output-identical by construction (union-find IS the reference the
+    * iterative algorithm is property-tested against; additionally
+    * pinned in DupClustersSpec). */
+  val LocalEdgeThreshold: Long = 4L << 20
+
   /** Connected components over an undirected edge list.
     *
     * @param pairs edges with long columns `a`, `b` (self-loops ignored)
+    * @param localEdgeThreshold canonical-edge count at or below which
+    *        the exact single-task union-find route runs instead of the
+    *        iterative rounds (0 forces the iterative path)
     * @return one row per distinct node: (id, component) where component
     *         is the minimum node id reachable from `id`
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-      persistRound: DataFrame => DataFrame = _.localCheckpoint(false))
+      persistRound: DataFrame => DataFrame = _.localCheckpoint(false),
+      localEdgeThreshold: Long = LocalEdgeThreshold)
       : DataFrame = {
     val raw = pairs
       .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
@@ -61,6 +78,19 @@ object DupClusters {
     edges = persistRound(edges)
 
     var prev = edgeChecksum(edges)
+    // Small-graph route: the checksum just counted the canonical edges;
+    // at or below the threshold one union-find task produces the SAME
+    // converged star set (component-min → node) the rounds would, in
+    // O(E α(E)) instead of O(log² n) shuffle rounds — on the bench
+    // graph that is 1 task vs ~6 rounds × 4 shuffles of job latency.
+    if (prev._1 <= localEdgeThreshold) {
+      val stars = localUnionFindStars(edges)
+      val starLabels =
+        stars.select(col("b").as("id"), col("a").as("component"))
+      return nodes.join(starLabels, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("component"), col("id")).as("component"))
+    }
     var converged = false
     var iter = 0
     var stale: DataFrame = null
@@ -120,6 +150,47 @@ object DupClusters {
       .distinct()
   }
 
+  /** Exact components of a small canonical edge set: ONE executor task
+    * (coalesce(1) — never a driver collect) runs min-rooted union-find
+    * with path compression over an open-addressing long→long parent
+    * table and emits the converged star set (component-min `a`, node
+    * `b`), i.e. exactly the fixed point the alternating rounds converge
+    * to. Unions always attach the larger root under the smaller, so
+    * every root IS its component's minimum. */
+  private def localUnionFindStars(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("a"), col("b")).as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val parent = new LongLongMap()
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) { // path halving
+            val gp = parent.getOrElse(p, p)
+            parent.put(x, gp)
+            x = p
+            p = gp
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) {
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        // one star edge per non-root node seen in the parent table;
+        // roots label themselves downstream (left join + coalesce)
+        parent.keysIterator.flatMap { n =>
+          val m = find(n)
+          if (m != n) Iterator.single((m, n)) else Iterator.empty
+        }
+      }
+      .toDF("a", "b")
+  }
+
   private def symmetrize(edges: DataFrame): DataFrame =
     edges.select(col("a").as("u"), col("b").as("v"))
       .union(edges.select(col("b").as("u"), col("a").as("v")))
@@ -158,4 +229,64 @@ object DupClusters {
         max_by(col("member"),
           struct(col("q"), (-col("member")).as("neg"))).as("keep_id"))
   }
+}
+
+/** Minimal open-addressing long→long hash map (linear probing, power-of-
+  * two capacity, grow at 0.7 load) — the union-find parent table. A
+  * boxed HashMap[Long, Long] costs ~100 B/entry; this is 16 B/entry, so
+  * the 4M-edge threshold stays well inside one task's memory. Keys must
+  * not be Long.MinValue (the empty sentinel — node ids are doc ids,
+  * never MinValue). */
+private[ops] final class LongLongMap(initialCapacity: Int = 1 << 16) {
+  private val Empty = Long.MinValue
+  private var cap = Integer.highestOneBit(math.max(16, initialCapacity - 1)) << 1
+  private var mask = cap - 1
+  private var keys = Array.fill[Long](cap)(Empty)
+  private var vals = new Array[Long](cap)
+  private var n = 0
+
+  private def idx(k: Long): Int = {
+    var h = k * -7046029254386353131L // Stafford mix constant
+    h ^= h >>> 32
+    (h.toInt & mask)
+  }
+
+  def getOrElse(k: Long, default: Long): Long = {
+    var i = idx(k)
+    while (keys(i) != Empty) {
+      if (keys(i) == k) return vals(i)
+      i = (i + 1) & mask
+    }
+    default
+  }
+
+  def put(k: Long, v: Long): Unit = {
+    var i = idx(k)
+    while (keys(i) != Empty) {
+      if (keys(i) == k) { vals(i) = v; return }
+      i = (i + 1) & mask
+    }
+    keys(i) = k
+    vals(i) = v
+    n += 1
+    if (n * 10L > cap * 7L) grow()
+  }
+
+  private def grow(): Unit = {
+    val ok = keys
+    val ov = vals
+    cap <<= 1
+    mask = cap - 1
+    keys = Array.fill[Long](cap)(Empty)
+    vals = new Array[Long](cap)
+    n = 0
+    var i = 0
+    while (i < ok.length) {
+      if (ok(i) != Empty) put(ok(i), ov(i))
+      i += 1
+    }
+  }
+
+  def keysIterator: Iterator[Long] =
+    keys.iterator.filter(_ != Empty)
 }

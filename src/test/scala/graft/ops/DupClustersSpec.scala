@@ -84,6 +84,41 @@ class DupClustersSpec extends AnyFunSuite {
     assert(got.size == 5001 && got.values.toSet == Set(0L))
   }
 
+  test("forced iterative path matches union-find on every spec graph") {
+    // localEdgeThreshold = 0 forces the alternating star rounds — the
+    // route the r08 local-union-find crossover bypasses on small
+    // graphs must stay covered and output-identical
+    def runIter(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      DupClusters.connectedComponents(edges.toDF("a", "b"),
+          localEdgeThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    assert(runIter(chain) == unionFind(chain))
+    val rnd = new scala.util.Random(7)
+    val n = 120
+    val edges = Seq.fill(n)((rnd.nextInt(n / 2).toLong,
+      rnd.nextInt(n / 2).toLong)).filter(e => e._1 != e._2)
+    assert(runIter(edges) == unionFind(edges))
+    assert(runIter(edges) == run(edges)) // iterative == local route
+    assert(runIter(Seq((1L, 1L), (1L, 2L), (7L, 7L))) ==
+      Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
+  test("LongLongMap survives growth and collisions") {
+    val m = new LongLongMap(16)
+    val rnd = new scala.util.Random(13)
+    val ref = scala.collection.mutable.Map[Long, Long]()
+    for (_ <- 1 to 20000) {
+      val k = rnd.nextLong() >> rnd.nextInt(48) // cluster keys to force probing
+      val v = rnd.nextLong()
+      if (k != Long.MinValue) { m.put(k, v); ref(k) = v }
+    }
+    ref.foreach { case (k, v) => assert(m.getOrElse(k, v - 1) == v) }
+    assert(m.getOrElse(Long.MaxValue - 12345, 42L) == 42L ||
+      ref.contains(Long.MaxValue - 12345))
+    assert(m.keysIterator.toSet == ref.keySet)
+  }
+
   test("electCanonical keeps max-quality then min-id per component") {
     val docs = Seq(
       (0L, 10L), (1L, 30L), (2L, 30L), (3L, 5L), // comp 0: q-tie 1 vs 2 -> 1
