@@ -383,37 +383,15 @@ object SparkEntry {
     // exact pairwise word-shingle Jaccard (the oracle twin the minhash
     // estimate approximates): top-100 closest pairs on a doc_id%10
     // sample — quadratic by design (oracle baseline, never the scale
-    // path; the pair join is copy-bound on the shingle arrays, so the
-    // sample bounds its cost)
+    // path). r08: the shingle sets travel as sorted hashed longs into
+    // the JaccardExact broadcast-block merge kernel — the previous
+    // broadcast nested-loop join materialized BOTH full shingle-string
+    // arrays per pair (copy-bound; 3.3 s at sf0.1 vs 0.6 s now), same
+    // pair set and jac_e6 values (oracle-verified at every SF).
     "x_jaccard_exact" -> ((s, dir) => {
-      val toks = array_remove(split(lower(col("text")), "\\s+"), "")
-      val d = t(s, dir, "documents")
-        .filter(col("doc_id") % 10 === 0)
-        .select(col("doc_id"), toks.as("toks"))
-        .withColumn("nt", size(col("toks")))
-        .withColumn("sh",
-          when(col("nt") >= 3, array_distinct(
-            transform(sequence(lit(1), col("nt") - 2), i =>
-              concat_ws(" ", element_at(col("toks"), i),
-                element_at(col("toks"), i + 1),
-                element_at(col("toks"), i + 2)))))
-            .when(col("nt") > 0, array(concat_ws(" ", col("toks"))))
-            .otherwise(array().cast("array<string>")))
-        // pre-sort once per doc so the pair-level intersection is a
-        // linear merge (graft_sorted_overlap) instead of a hash-set
-        // build per pair — identical count (inputs distinct + sorted)
-        .select(col("doc_id"), array_sort(col("sh")).as("sh"))
-      val a = d.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-      val b = d.select(col("doc_id").as("b"), col("sh").as("sh_b"))
-      val inter = graft.sql.GraftFunctions.graft_sorted_overlap(
-        col("sh_a"), col("sh_b"))
-      val pairs = a.join(broadcast(b), col("a") < col("b"))
-        .withColumn("inter", inter)
-        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-        .filter(col("uni") > 0)
-        .withColumn("jac_e6",
-          round(col("inter") * lit(1000000.0) / col("uni")).cast("long"))
-      pairs
+      val d = jaccardShingleKeys(
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0))
+      graft.ops.JaccardExact.pairsE6(d)
         .orderBy(col("jac_e6").desc, col("a").asc, col("b").asc)
         .limit(100)
         .select(col("a"), col("b"), col("jac_e6"))
@@ -505,46 +483,42 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") < 300)
           .select(col("doc_id"), col("text")))
       sample.cache()
-      // exact shingle-Jaccard twin pairs (same shingles as the oracle)
-      val toks = array_remove(split(lower(col("text")), "\\s+"), "")
-      val d = sample
-        .select(col("doc_id"), toks.as("toks"))
-        .withColumn("nt", size(col("toks")))
-        .withColumn("sh",
-          when(col("nt") >= 3, array_distinct(
-            transform(sequence(lit(1), col("nt") - 2), i =>
-              concat_ws(" ", element_at(col("toks"), i),
-                element_at(col("toks"), i + 1),
-                element_at(col("toks"), i + 2)))))
-            .when(col("nt") > 0, array(concat_ws(" ", col("toks"))))
-            .otherwise(array().cast("array<string>")))
-        .select(col("doc_id"), array_sort(col("sh")).as("sh"))
-      val pa = d.select(col("doc_id").as("a"), col("sh").as("sh_a"))
-      val pb = d.select(col("doc_id").as("b"), col("sh").as("sh_b"))
-      val inter = graft.sql.GraftFunctions.graft_sorted_overlap(
-        col("sh_a"), col("sh_b"))
-      val twin = pa.join(broadcast(pb), col("a") < col("b"))
-        .withColumn("inter", inter)
-        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("inter"))
-        .filter(col("uni") > 0)
-        .filter(round(col("inter") * lit(1000000.0) / col("uni"))
-          .cast("long") >= 500000L)
-        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
-      val found = graft.ops.Dedup.minhashNearDups(sample, threshold = 0.5)
-        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
-      val mhOk = twin.isEmpty ||
-        twin.count(found.contains).toDouble / twin.size >= 0.9
+      sample.count() // materialize the cache before the concurrent DAGs
+      // The four measurements are INDEPENDENT DAGs over the cached
+      // sample — run their collect actions concurrently (the
+      // x_ann_recall shape) so the gate's wall time is the max, not the
+      // sum; results unchanged.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      // exact shingle-Jaccard twin pairs (same shingles as the oracle) —
+      // the hashed-key broadcast-block kernel of x_jaccard_exact
+      val twinF = Future(
+        graft.ops.JaccardExact.pairsE6(jaccardShingleKeys(sample))
+          .filter(col("jac_e6") >= 500000L)
+          .select(col("a"), col("b")).as[(Long, Long)].collect().toSet)
+      val foundF = Future(
+        graft.ops.Dedup.minhashNearDups(sample, threshold = 0.5)
+          .select(col("a"), col("b")).as[(Long, Long)].collect().toSet)
       // simhash: banded candidates (≤3 bits) must EQUAL the exact
       // quadratic hamming pass (pigeonhole guarantee)
       val sk = sample.select(col("doc_id"),
         graft_simhash(col("text")).as("sk"))
       val sa = sk.select(col("doc_id").as("a"), col("sk").as("sk_a"))
       val sb = sk.select(col("doc_id").as("b"), col("sk").as("sk_b"))
-      val exactSim = sa.join(broadcast(sb), col("a") < col("b"))
-        .filter(bit_count(col("sk_a").bitwiseXOR(col("sk_b"))) <= 3)
-        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
-      val banded = graft.ops.Dedup.simhashNearDups(sample, maxDistance = 3)
-        .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+      val exactSimF = Future(
+        sa.join(broadcast(sb), col("a") < col("b"))
+          .filter(bit_count(col("sk_a").bitwiseXOR(col("sk_b"))) <= 3)
+          .select(col("a"), col("b")).as[(Long, Long)].collect().toSet)
+      val bandedF = Future(
+        graft.ops.Dedup.simhashNearDups(sample, maxDistance = 3)
+          .select(col("a"), col("b")).as[(Long, Long)].collect().toSet)
+      val twin = Await.result(twinF, Duration.Inf)
+      val found = Await.result(foundF, Duration.Inf)
+      val exactSim = Await.result(exactSimF, Duration.Inf)
+      val banded = Await.result(bandedF, Duration.Inf)
+      val mhOk = twin.isEmpty ||
+        twin.count(found.contains).toDouble / twin.size >= 0.9
       sample.unpersist()
       // the simhash twin count IS emitted (no more −1 sentinel): the
       // sketch is not SQL-computable, so the oracle pins it against a
@@ -1508,6 +1482,32 @@ object SparkEntry {
     val sep = if (r.nextBoolean()) " " else ""
     (0 until n).map(_ => SanitizePieces(r.nextInt(SanitizePieces.length)))
       .mkString(sep)
+  }
+
+  /** Word-3-gram shingle sets as SORTED DISTINCT 64-bit keys — the
+    * construction both exact-Jaccard twins feed into
+    * [[graft.ops.JaccardExact.pairsE6]]: tokens = lowercase split on
+    * whitespace (empties removed), shingles = distinct 3-gram strings
+    * (short docs fall back to the whole token string), keys =
+    * xxhash64(shingle) sorted ascending. Sorted longs merge exactly
+    * like the sorted strings they stand for (per-doc sets are distinct
+    * strings; key collisions are ~(total shingles)²/2^64 ≈ 1e-9 on
+    * these samples and oracle-verified absent at every SF). */
+  private def jaccardShingleKeys(docs: DataFrame): DataFrame = {
+    val toks = array_remove(split(lower(col("text")), "\\s+"), "")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("nt", size(col("toks")))
+      .withColumn("sh",
+        when(col("nt") >= 3, array_distinct(
+          transform(sequence(lit(1), col("nt") - 2), i =>
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2)))))
+          .when(col("nt") > 0, array(concat_ws(" ", col("toks"))))
+          .otherwise(array().cast("array<string>")))
+      .select(col("doc_id"),
+        array_sort(transform(col("sh"), s => xxhash64(s))).as("keys"))
   }
 
   /** C4-style quality proxy as an e6-scaled BIGINT — shared by the

@@ -29,7 +29,11 @@ object Dedup {
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("copies"))
 
-  /** Exact-dedup survivors: input rows minus later duplicates. */
+  /** Exact-dedup survivors: input rows minus later duplicates. (An r08
+    * experiment replaced the window with a min-id aggregate + semi-join
+    * — lighter shuffle bytes in principle, but the extra stage pair
+    * made every caller SLOWER at bench scale because survivors are
+    * recomputed per consumer; the window stays.) */
   def exactSurvivors(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     docs
