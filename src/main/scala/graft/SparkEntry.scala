@@ -1013,13 +1013,16 @@ object SparkEntry {
         cnt(col("f3"))).head()
       val s3 = flags.filter(col("f3")).select(col("doc_id"), col("text"))
       val s4 = graft.ops.Dedup.exactSurvivors(s3)
-      s4.cache()
-      val c4 = s4.count()
+      // chunkStats emits exactly ONE row per s4 document, so stages 4
+      // and 5 collapse into a single aggregate over it: c4 = |st| and
+      // c5 = |{st : paras_kept·2 ≥ paras_total}| — one job instead of
+      // the former s4.cache + count + chunkStats + semi-join count
       val st = graft.ops.ParagraphDedup.chunkStats(s4, "doc_id", "text", 12)
-      val c5 = s4.join(
-        st.filter(col("paras_kept") * 2 >= col("paras_total"))
-          .select(col("doc_id")), Seq("doc_id"), "left_semi").count()
-      flags.unpersist(); s4.unpersist()
+      val r45 = st.agg(count(lit(1)),
+        cnt(col("paras_kept") * 2 >= col("paras_total"))).head()
+      val c4 = r45.getLong(0)
+      val c5 = r45.getLong(1)
+      flags.unpersist()
       Seq(("s0_all", h.getLong(0)), ("s1_lang_en", h.getLong(1)),
         ("s2_quality", h.getLong(2)), ("s3_repetition", h.getLong(3)),
         ("s4_exact_dedup", c4), ("s5_paragraph", c5))
@@ -1065,6 +1068,12 @@ object SparkEntry {
     // guarantee is property-tested in WinnowingSpec.
     "x_winnow_fingerprints" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // NOTE (r08): sharing one materialized fingerprint frame between
+      // the two aggregates (cache or lazy localCheckpoint) was measured
+      // SLOWER than letting both subtrees run the kernel — the
+      // crossJoin executes its two independent subtrees concurrently in
+      // one job, and serializing a materialization phase costs more
+      // than the duplicated (cheap) kernel. Left as two evaluations.
       val fp = graft.ops.Winnowing.withFingerprints(docs)
         .select(col("doc_id"), col("fps"))
       val ex = fp.select(col("doc_id"), explode_outer(col("fps")).as("fp"))

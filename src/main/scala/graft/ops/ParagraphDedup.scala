@@ -78,11 +78,14 @@ object ParagraphDedup {
     * original separator): (id, text, paras_total, paras_kept).
     * Documents whose every paragraph was seen earlier come back with
     * empty text — downstream filters drop them like any other
-    * too-short document. */
+    * too-short document. EVERY input id survives: a document whose text
+    * has no non-empty paragraph (empty/whitespace-only) emits no
+    * paragraph rows, and rejoins as ('', 0, 0) rather than vanishing
+    * (it used to be dropped, contradicting this contract). */
   def dedup(docs: DataFrame, idCol: String, textCol: String,
             sep: String = "\n\n+", joinSep: String = "\n\n"): DataFrame = {
     val marked = markDuplicates(paragraphs(docs, idCol, textCol, sep))
-    marked
+    val rebuilt = marked
       .groupBy(col("id"))
       .agg(
         count(lit(1)).as("paras_total"),
@@ -95,15 +98,40 @@ object ParagraphDedup {
           joinSep).as("text"))
       .select(col("id").as(idCol), col("text"),
         col("paras_total"), col("paras_kept"))
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("paras_total"), lit(0L)).as("paras_total"),
+        coalesce(col("paras_kept"), lit(0L)).as("paras_kept"))
   }
 
   /** Per-document survival stats over fixed word-window chunks —
-    * the oracle-comparable form: (id, paras_total, paras_kept). */
+    * the oracle-comparable form: (id, paras_total, paras_kept).
+    *
+    * r08 shape: the generic [[markDuplicates]] path joined the winner
+    * table back onto the full paragraph rows — an exchange carrying
+    * every chunk's TEXT just to derive a boolean that is immediately
+    * aggregated away. The stats only need counts, and `paras_kept` per
+    * document IS the number of winner rows electing that document:
+    * chunk text now dies at the md5, and the three aggregates + final
+    * join move (id|16-byte key, long) rows only. Output identical
+    * (every doc emits ≥1 chunk, so totals covers every input id).
+    */
   def chunkStats(docs: DataFrame, idCol: String, textCol: String,
-                 chunkWords: Int): DataFrame =
-    markDuplicates(wordChunks(docs, idCol, textCol, chunkWords))
+                 chunkWords: Int): DataFrame = {
+    val paras = wordChunks(docs, idCol, textCol, chunkWords)
+      .select(col("id"), col("para_idx"), md5(col("para")).as("pkey"))
+    val totals = paras
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("paras_total"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("paras_kept"))
-      .select(col("id").as(idCol), col("paras_total"), col("paras_kept"))
+      .agg(count(lit(1)).as("paras_total"))
+    val kept = paras
+      .groupBy(col("pkey"))
+      .agg(min(struct(col("id"), col("para_idx"))).as("winner"))
+      .groupBy(col("winner.id").as("id"))
+      .agg(count(lit(1)).as("paras_kept"))
+    totals.join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("paras_total"),
+        coalesce(col("paras_kept"), lit(0L)).as("paras_kept"))
+  }
 }

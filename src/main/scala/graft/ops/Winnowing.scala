@@ -78,7 +78,11 @@ object Winnowing {
     val deque = new Array[Int](hs.length) // indices, increasing hash
     var head = 0
     var tail = 0 // exclusive
-    val selected = new java.util.TreeSet[java.lang.Long]()
+    // selected hashes collected flat, then sort + dedup — same sorted
+    // distinct output as the former TreeSet at a fraction of the
+    // allocation (no per-value boxing / tree nodes)
+    val selected = new Array[Long](hs.length - w + 1)
+    var m = 0
     var lastPos = -1
     var i = 0
     while (i < hs.length) {
@@ -87,15 +91,20 @@ object Winnowing {
       if (deque(head) <= i - w) head += 1
       if (i >= w - 1) {
         val pos = deque(head)
-        if (pos != lastPos) { selected.add(hs(pos)); lastPos = pos }
+        if (pos != lastPos) { selected(m) = hs(pos); m += 1; lastPos = pos }
       }
       i += 1
     }
-    val out = new Array[Long](selected.size)
-    val it = selected.iterator()
-    var j = 0
-    while (it.hasNext) { out(j) = it.next(); j += 1 }
-    out
+    java.util.Arrays.sort(selected, 0, m)
+    var j = 0 // in-place dedup over the sorted prefix
+    var n2 = 0
+    while (j < m) {
+      if (n2 == 0 || selected(n2 - 1) != selected(j)) {
+        selected(n2) = selected(j); n2 += 1
+      }
+      j += 1
+    }
+    java.util.Arrays.copyOf(selected, n2)
   }
 
   private def fpUdf(k: Int, w: Int) =
@@ -118,9 +127,19 @@ object Winnowing {
     * row: two longs. */
   def candidatePairs(docs: DataFrame, minShared: Int = 2,
       k: Int = DefaultK, w: Int = DefaultW,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    candidatePairsFromFps(
+      withFingerprints(docs.select(col("doc_id"), col("text")), k, w),
+      minShared, bucketCap)
+
+  /** [[candidatePairs]] over an ALREADY-fingerprinted frame
+    * (doc_id, fps) — callers that also aggregate the fingerprints
+    * themselves (x_winnow_fingerprints) compute/cache the kernel ONCE
+    * and feed both consumers instead of running the per-row UDF twice
+    * over the corpus. */
+  def candidatePairsFromFps(fpDocs: DataFrame, minShared: Int = 2,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
-    val fps = withFingerprints(docs.select(col("doc_id"), col("text")), k, w)
-      .select(col("doc_id"), explode(col("fps")).as("fp"))
+    val fps = fpDocs.select(col("doc_id"), explode(col("fps")).as("fp"))
     val wCap = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val capped = fps
       .withColumn("rn", row_number().over(wCap))

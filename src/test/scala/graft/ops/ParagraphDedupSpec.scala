@@ -58,6 +58,53 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(out(1).getLong(3) == 0L)
   }
 
+  test("whitespace-only documents survive dedup as ('', 0, 0) rows") {
+    // a doc with zero non-empty paragraphs emits no paragraph rows;
+    // it must rejoin as a filterable empty, not silently vanish
+    val docs = Seq(
+      (1L, "real para"),
+      (2L, "   \n\n  \n\n"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = ParagraphDedup.dedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(1).getString(1) == "" && out(1).getLong(2) == 0L &&
+      out(1).getLong(3) == 0L)
+    assert(out(2).getString(1) == "" && out(2).getLong(2) == 0L &&
+      out(2).getLong(3) == 0L)
+    assert(out(0).getString(1) == "real para" && out(0).getLong(3) == 1L)
+  }
+
+  test("chunkStats covers every input id and matches markDuplicates") {
+    // the r08 counts-only chunkStats must agree with the generic
+    // markDuplicates path it replaced, on a corpus with cross-doc and
+    // within-doc chunk duplication plus an empty doc
+    val docs = Seq(
+      (1L, "a b c d a b c d"),
+      (2L, "a b c d x y z w"),
+      (3L, ""),
+      (4L, "a b c d")
+    ).toDF("doc_id", "text")
+    val got = ParagraphDedup.chunkStats(docs, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ref = ParagraphDedup.markDuplicates(
+        ParagraphDedup.wordChunks(docs, "doc_id", "text", 4))
+      .groupBy(org.apache.spark.sql.functions.col("id"))
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("t"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("keep"), 1L)
+            .otherwise(0L)).as("k"))
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == ref)
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("blank fragments are dropped before indexing") {
     val docs = Seq((1L, "\n\n\n\na\n\n\n\n\n\nb\n\n")).toDF("doc_id", "text")
     val ps = ParagraphDedup.paragraphs(docs, "doc_id", "text")
