@@ -788,7 +788,7 @@ object SparkEntry {
     // returning.
     "x_stream_extract" -> ((s, _) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_stream_")
+      val base = scratchDir("graft_stream_")
       try {
         val results = graft.streaming.StreamingExtract.extractFirstSeen(
           graft.streaming.StreamingExtract.readPages(s, streamCorpusDir(s)))
@@ -851,7 +851,7 @@ object SparkEntry {
     // Evaluated eagerly so the temp dir is deleted before returning.
     "x_wet_roundtrip" -> ((s, _) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_wet_")
+      val base = scratchDir("graft_wet_")
       try {
         val results = graft.pipeline.ExtractPipeline
           .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
@@ -884,7 +884,7 @@ object SparkEntry {
     // contract over our own index.
     "x_cdx_roundtrip" -> ((s, _) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_cdx_")
+      val base = scratchDir("graft_cdx_")
       try {
         val results = graft.pipeline.ExtractPipeline
           .extract(graft.pipeline.ExtractPipeline.pages(s, 500, 8), 8).toDF()
@@ -1218,7 +1218,7 @@ object SparkEntry {
     // eagerly so the temp dir is deleted before returning.
     "x_jsonl_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+      val base = scratchDir("graft_jsonl_")
       try {
         // 4 partitions keyed on the raw doc_id (murmur3 spreads 500+
         // docs over all 4 — deterministic, so jsonl_files pins at 4)
@@ -1342,6 +1342,20 @@ object SparkEntry {
     })
   )
 
+  /** Scratch directory for the eager roundtrip queries (stream, WET,
+    * CDX, JSONL) and the per-JVM corpora: tmpfs when available — the
+    * same placement Bench uses for shuffle files (guide §6: scratch
+    * I/O layout, not results; every query still computes from its
+    * inputs and the dirs are deleted on exit of the query). Falls back
+    * to the default tmp dir. */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+
   /** The 500-page corpus as real WARC files, written once per JVM (8
     * files; even files per-record-gzip-membered, odd plain; bodies
     * chunked / Content-Encoding-gzipped on the same i%5 / i%3 mix as
@@ -1349,7 +1363,7 @@ object SparkEntry {
   @volatile private var warcCorpus: String = _
   private def warcCorpusDir(s: SparkSession): String = synchronized {
     if (warcCorpus == null) {
-      val d = java.nio.file.Files.createTempDirectory("graft_warc_corpus_")
+      val d = scratchDir("graft_warc_corpus_")
       (0 until 8).foreach { f =>
         val name = if (f % 2 == 0) s"part-$f.warc.gz" else s"part-$f.warc"
         val out = new java.io.BufferedOutputStream(
@@ -1382,8 +1396,7 @@ object SparkEntry {
   private def streamCorpusDir(s: SparkSession): String = synchronized {
     if (streamCorpus == null) {
       import s.implicits._
-      val d = java.nio.file.Files
-        .createTempDirectory("graft_stream_corpus_").toString + "/pages"
+      val d = scratchDir("graft_stream_corpus_").toString + "/pages"
       graft.pipeline.ExtractPipeline.pages(s, 500, 8).write.parquet(d)
       s.range(0L, 500L, 1L, 8).filter(_ % 2 == 0)
         .map(i => graft.pipeline.PagesSynth.row(i))
@@ -1453,8 +1466,7 @@ object SparkEntry {
   private def bloomIndexDir(dir: String, seen: DataFrame): String =
     synchronized {
       if (bloomIdx == null || bloomIdx._1 != dir) {
-        val d = java.nio.file.Files
-          .createTempDirectory("graft_bloom_idx_").toString
+        val d = scratchDir("graft_bloom_idx_").toString
         graft.ops.IncrementalDedup.writeBloomIndex(seen, d, buckets = 8)
         bloomIdx = (dir, d)
       }

@@ -62,9 +62,16 @@ object Mixing {
 
   /** Number of copies of a row under an e6-scaled rate:
     * `rate DIV 1e6` guaranteed copies, plus one when the row's uniform
-    * draw lands below `rate % 1e6`. */
+    * draw lands below `rate % 1e6`. True integer floor division
+    * (Catalyst IntegralDivide, the SQL `DIV`): the earlier
+    * double-`/`-then-cast could diverge from the documented exact-long
+    * contract for weight_e6 beyond 2^53. */
   def copiesFor(id: Column, weightE6: Column, salt: Long): Column =
-    (weightE6 / lit(1000000L)).cast("long") +
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(weightE6),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          lit(1000000L)))) +
       when(uE6(id, salt) < weightE6 % 1000000L, 1L).otherwise(0L)
 
   /** Sample a mixture: `weights` is (domainCol, weight_e6) — one row per

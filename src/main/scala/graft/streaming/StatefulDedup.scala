@@ -41,29 +41,52 @@ object StatefulDedup {
     }
     pages
       .groupByKey(_.url)
-      .flatMapGroupsWithState[Long, PageRow](OutputMode.Append, timeoutConf) {
-        (_: String, rows: Iterator[PageRow], state: GroupState[Long]) =>
+      .flatMapGroupsWithState[Long, PageRow](OutputMode.Append, timeoutConf)(
+        stateFn(ttl))
+  }
+
+  /** The per-key state function, extracted so the claim/expiry branches
+    * are unit-testable with TestGroupState (clock-controlled) — the
+    * expired-claim re-admission race can't be driven through a real
+    * stream deterministically. */
+  private[streaming] def stateFn(ttl: Option[FiniteDuration])
+      : (String, Iterator[PageRow], GroupState[Long]) => Iterator[PageRow] =
+    (_: String, rows: Iterator[PageRow], state: GroupState[Long]) =>
+      {
           if (state.hasTimedOut) {
             // claim expired: drop the state so the next arrival of this
             // url is treated as first-seen again
             state.remove()
             Iterator.empty
           } else if (state.exists) {
-            // duplicate within the claim window. Spark cancels a
-            // pending timeout whenever the function is invoked for the
-            // key, so re-arm it for the REMAINDER of the original
-            // claim — the duplicate must not extend the TTL.
-            ttl.foreach { d =>
-              val remaining =
-                state.get + d.toMillis - state.getCurrentProcessingTimeMs()
-              state.setTimeoutDuration(math.max(1L, remaining))
+            // duplicate: check the claim's own clock FIRST — an arrival
+            // after the TTL elapsed but before Spark fired the timeout
+            // must be re-admitted as first-seen (Redis SET NX EX
+            // semantics: an expired key admits the next writer), not
+            // suppressed under a re-armed remainder.
+            val expired = ttl.exists { d =>
+              state.get + d.toMillis - state.getCurrentProcessingTimeMs() <= 0
             }
-            Iterator.empty
+            if (expired) {
+              state.update(state.getCurrentProcessingTimeMs())
+              ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
+              rows.take(1)
+            } else {
+              // within the claim window. Spark cancels a pending
+              // timeout whenever the function is invoked for the key,
+              // so re-arm it for the REMAINDER of the original claim —
+              // the duplicate must not extend the TTL.
+              ttl.foreach { d =>
+                val remaining =
+                  state.get + d.toMillis - state.getCurrentProcessingTimeMs()
+                state.setTimeoutDuration(math.max(1L, remaining))
+              }
+              Iterator.empty
+            }
           } else {
             state.update(state.getCurrentProcessingTimeMs())
             ttl.foreach(d => state.setTimeoutDuration(d.toMillis))
             rows.take(1) // first occurrence within this batch wins too
           }
       }
-  }
 }

@@ -93,6 +93,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateFn: a claim whose TTL elapsed re-admits before the timeout fires") {
+    // The race the r08 ADVICE fix covers: a duplicate arriving AFTER
+    // the claim's TTL elapsed but BEFORE Spark fires the timeout must
+    // be re-admitted as first-seen (Redis SET NX EX semantics), not
+    // suppressed under a re-armed remainder. Driven clock-controlled
+    // through TestGroupState — a real stream can't hit this window
+    // deterministically.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    import scala.concurrent.duration._
+    val fn = StatefulDedup.stateFn(Some(2.seconds))
+    val row = ExtractPipelineRows.row(0L)
+    // claim made at t=1000ms; duplicate arrives at t=3500ms (> TTL
+    // 2000ms after the claim) with the timeout not yet fired
+    val state = TestGroupState.create[Long](
+      Optional.of(1000L), GroupStateTimeout.ProcessingTimeTimeout,
+      3500L, Optional.of(java.lang.Long.valueOf(3000L)), false)
+    val out = fn("u", Iterator(row), state).toSeq
+    assert(out == Seq(row), "expired claim must re-admit the url")
+    assert(state.get == 3500L, "claim clock must reset to now")
+    // within the window (t=1500ms): suppressed, remainder re-armed
+    val state2 = TestGroupState.create[Long](
+      Optional.of(1000L), GroupStateTimeout.ProcessingTimeTimeout,
+      1500L, Optional.of(java.lang.Long.valueOf(3000L)), false)
+    val out2 = fn("u", Iterator(row), state2).toSeq
+    assert(out2.isEmpty, "in-window duplicate must drop")
+    assert(state2.get == 1000L, "in-window duplicate must not extend the claim")
+  }
+
   test("first-seen TTL: an expired claim re-admits its url") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
