@@ -1534,8 +1534,18 @@ object SparkEntry {
   /** C4-style quality proxy as an e6-scaled BIGINT — shared by the
     * learning-store and sampling queries and their DuckDB oracles:
     * 0.35·min(len/700,1) + 0.35·alnum_ratio + 0.30·printable_ratio,
-    * evaluated left-to-right in double (bit-identical cross-engine). */
-  private def qualityScoreE6(text: Column): Column = {
+    * evaluated left-to-right in double (bit-identical cross-engine).
+    * r08: one native byte-pass expression (GraftQualityE6) instead of
+    * two full regexp_replace scans per row — same counts, same double
+    * fold, same HALF_UP rounding (parity vs the Column composition is
+    * spec-asserted in GraftExpressionsSpec). */
+  private def qualityScoreE6(text: Column): Column =
+    graft_quality_e6(text)
+
+  /** The pre-r08 two-regex Column composition of [[qualityScoreE6]] —
+    * kept ONLY so the test suite can assert the native expression
+    * bit-identical to the original derivation. */
+  private[graft] def qualityScoreE6Reference(text: Column): Column = {
     val len = length(text)
     val alnum = length(regexp_replace(text, "[^A-Za-z0-9]", ""))
     val printable = length(regexp_replace(text, "[^ -~]", ""))

@@ -76,6 +76,36 @@ object GraftKernels {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** C4-style quality proxy as an e6-scaled long, one byte pass:
+    * 0.35·min(len/700, 1) + 0.35·alnum/len + 0.30·printable/len with
+    * len = code points, alnum = chars in [A-Za-z0-9], printable = chars
+    * in [ -~] — EXACTLY the counts `length(regexp_replace(..))` derives
+    * (ASCII classes; multi-byte sequences can never match) and the same
+    * left-to-right double fold, rounded HALF_UP like Spark's round()
+    * and the DuckDB oracle. Replaces two full regex scans per row. */
+  def qualityE6(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var len = 0; var alnum = 0; var printable = 0
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if ((b & 0xc0) != 0x80) len += 1 // code-point start
+      if (b >= 0x20 && b <= 0x7e) {
+        printable += 1
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+            (b >= '0' && b <= '9')) alnum += 1
+      }
+      i += 1
+    }
+    val denom = math.max(len, 1)
+    val score =
+      0.35 * math.min(len.toDouble / 700.0, 1.0) +
+        0.35 * (alnum.toDouble * 1.0 / denom) +
+        0.30 * (printable.toDouble * 1.0 / denom)
+    java.math.BigDecimal.valueOf(score * 1000000)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
+
   /** Overlap (intersection size) of two SORTED, DISTINCT string arrays
     * by linear merge — no per-pair hash-set builds. Equal to
     * size(array_intersect(a, b)) when both inputs are distinct + sorted
@@ -188,6 +218,20 @@ case class GraftFingerprint(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): GraftFingerprint = copy(c)
 }
 
+/** One-pass C4-style quality proxy (e6-scaled long) — replaces the
+  * two-regex-scan Column composition on every quality-gated path. */
+case class GraftQualityE6(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    GraftKernels.qualityE6(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.sql.GraftKernels.qualityE6($c)")
+  override protected def withNewChildInternal(c: Expression): GraftQualityE6 = copy(c)
+}
+
 /** Cosine similarity over two array<float> columns (ANN hot loop). */
 case class GraftCosine(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -230,6 +274,8 @@ object GraftFunctions {
     ColumnBridge.column(GraftSimHash(expression(c)))
   def graft_fingerprint(c: Column): Column =
     ColumnBridge.column(GraftFingerprint(expression(c)))
+  def graft_quality_e6(c: Column): Column =
+    ColumnBridge.column(GraftQualityE6(expression(c)))
   def graft_cosine(a: Column, b: Column): Column =
     ColumnBridge.column(GraftCosine(expression(a), expression(b)))
   def graft_sorted_overlap(a: Column, b: Column): Column =
@@ -254,6 +300,7 @@ object GraftFunctions {
     "graft_confidence" -> (exprs => GraftConfidence(exprs.head)),
     "graft_simhash" -> (exprs => GraftSimHash(exprs.head)),
     "graft_fingerprint" -> (exprs => GraftFingerprint(exprs.head)),
+    "graft_quality_e6" -> (exprs => GraftQualityE6(exprs.head)),
     "graft_cosine" -> (exprs => GraftCosine(exprs.head, exprs(1))),
     "graft_sorted_overlap" ->
       (exprs => GraftSortedOverlap(exprs.head, exprs(1))))
