@@ -449,11 +449,14 @@ object SparkEntry {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
+      // knownN unlocks the broadcast-block candidate ranking inside the
+      // forced-machinery probes (the corpus was just counted and is
+      // inside the broadcast budget at every gate scale)
       val ivfF = Future(recallE6(graft.ops.IvfIndex.topK(emb,
-        ivfCentroids(dir, emb, n), 5, queries = sampleQ)))
+        ivfCentroids(dir, emb, n), 5, queries = sampleQ, knownN = n)))
       val lshF = Future(recallE6(Similarity.lshCosineTopK(emb, 5,
         signBits = Similarity.signBitsFor(n),
-        tables = Similarity.DefaultTables, queries = sampleQ)))
+        tables = Similarity.DefaultTables, queries = sampleQ, knownN = n)))
       val ivfR = Await.result(ivfF, Duration.Inf)
       val lshR = Await.result(lshF, Duration.Inf)
       emb.unpersist()

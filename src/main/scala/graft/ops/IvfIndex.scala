@@ -310,7 +310,10 @@ object IvfIndex {
       cellCap: Int = DefaultCellCap,
       replicas: Int = DefaultReplicas,
       subProbe: Int = DefaultSubProbe,
-      queries: DataFrame = null): DataFrame = {
+      queries: DataFrame = null,
+      knownN: Long = -1L,
+      broadcastBudget: Long = Similarity.DefaultBroadcastBudgetBytes)
+      : DataFrame = {
     val sc = corpus.sparkSession.sparkContext
     // query-set search: probe fan-out, candidate join and ranking window
     // all scale with |queries| instead of n (queries default = corpus)
@@ -359,6 +362,15 @@ object IvfIndex {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id") // ×replicas/probes sightings
+    // same ranking gate as Similarity.lshCosineTopK: a corpus the
+    // caller KNOWS fits the broadcast budget scores pairs against a
+    // broadcast id→vector block with partial top-k instead of two
+    // join-backs materializing dim-sized arrays per candidate pair
+    if (knownN >= 0L && knownN *
+        math.max(Similarity.embDim(corpus), 1).toLong * 4L <= broadcastBudget)
+      return Similarity.rankPairsTopKBroadcast(pairs,
+        qsrc.select(col("vec_id"), col("embedding")),
+        corpus.select(col("vec_id"), col("embedding")), k)
     val embQ = qsrc.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
     val embN = corpus.select(col("vec_id").as("neighbor_id"),

@@ -428,6 +428,82 @@ object Similarity {
     pairs.join(embA, Seq(aCol)).join(embB, Seq(bCol))
   }
 
+  /** Rank deduped candidate (query, neighbor) pairs to per-query top-k
+    * via a BROADCAST id→vector map instead of two embedding join-backs:
+    * each task scores its pairs against the broadcast block (cosine
+    * bit-identical to the join path — [[SimilarityKernel.cosinePrenormed]]
+    * vs GraftCosine is OpsSpec-pinned) and keeps a bounded per-query
+    * partial top-k, so the ranking window sorts ≤ tasks × queries × k
+    * partial rows instead of every candidate pair carrying two
+    * dim-sized arrays. Callers gate on a KNOWN corpus byte size (the
+    * broadcast-budget discipline) and keep the join path beyond it.
+    * Output identical: a pair outside its task's per-query top-k can
+    * never enter the global top-k under the same total order
+    * (cos desc, neighbor_id asc). */
+  private[ops] def rankPairsTopKBroadcast(pairs: DataFrame,
+      qEmb: DataFrame, nEmb: DataFrame, k: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def block(df: DataFrame): (Array[Long], Array[Array[Float]], Array[Double]) = {
+      val rows = df.select(col("vec_id"),
+          col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      (rows.map(_._1), rows.map(_._2),
+        rows.map(r => SimilarityKernel.sqrtNorm(r._2)))
+    }
+    val bcQ = spark.sparkContext.broadcast(block(qEmb))
+    val bcN = spark.sparkContext.broadcast(block(nEmb))
+    val partial = pairs
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val (qIds, qVecs, qNorms) = bcQ.value
+        val (nIds, nVecs, nNorms) = bcN.value
+        def idxOf(ids: Array[Long], id: Long): Int = {
+          val i = java.util.Arrays.binarySearch(ids, id)
+          require(i >= 0, s"pair references unknown vec_id $id")
+          i
+        }
+        // per-query bounded buffers: (cos desc, neighbor_id asc)
+        val bufs = new java.util.HashMap[Long, (Array[Double], Array[Long], Array[Int])]()
+        it.foreach { case (q, nId) =>
+          val qi = idxOf(qIds, q)
+          val ni = idxOf(nIds, nId)
+          val c = SimilarityKernel.cosinePrenormed(
+            qVecs(qi), nVecs(ni), qNorms(qi), nNorms(ni))
+          var b = bufs.get(q)
+          if (b == null) {
+            b = (new Array[Double](k), new Array[Long](k), new Array[Int](1))
+            bufs.put(q, b)
+          }
+          val (cb, ib, lenBox) = b
+          val l = lenBox(0)
+          if (l < k || c > cb(l - 1) || (c == cb(l - 1) && nId < ib(l - 1))) {
+            var pos = if (l < k) l else k - 1
+            while (pos > 0 && (c > cb(pos - 1) ||
+                (c == cb(pos - 1) && nId < ib(pos - 1)))) {
+              cb(pos) = cb(pos - 1); ib(pos) = ib(pos - 1); pos -= 1
+            }
+            cb(pos) = c; ib(pos) = nId
+            if (l < k) lenBox(0) = l + 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        bufs.entrySet().iterator().asScala.flatMap { e =>
+          val (cb, ib, lenBox) = e.getValue
+          (0 until lenBox(0)).iterator.map(j => (e.getKey.longValue(), ib(j), cb(j)))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+  }
+
   /** ANN top-k — the SHIPPED entry point is auto mode (`signBits <= 0`):
     * count the corpus once, route to the exact brute pass below
     * [[lshCrossover]] (exact AND ~25× faster there), otherwise derive
@@ -470,14 +546,30 @@ object Similarity {
     val pairs = candidatePairs(corpus, bits, tbl, n,
       symmetric = true, bucketCap, queryIds = queries)
       .select(col("a").as("query_id"), col("b").as("neighbor_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    withEmbeddings(pairs, corpus, "query_id", "neighbor_id")
-      .withColumn("cos", cosineFast(col("emb_a"), col("emb_b")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    // Candidate ranking: when the caller KNOWS the corpus is inside the
+    // broadcast byte budget (knownN ≥ 0, e.g. the forced-machinery
+    // recall gate probing a counted corpus), the pairs are scored
+    // against a broadcast id→vector block with per-task partial top-k —
+    // no per-pair array materialization through two join-backs and a
+    // partial-sized ranking window. Unknown/large corpora keep the
+    // join path (identical output, OpsSpec-pinned cosine).
+    val effN = if (auto) n else knownN
+    if (effN >= 0L &&
+        effN * math.max(embDim(corpus), 1).toLong * 4L <= broadcastBudget)
+      rankPairsTopKBroadcast(pairs,
+        (if (queries == null) corpus else queries)
+          .select(col("vec_id"), col("embedding")),
+        corpus.select(col("vec_id"), col("embedding")), k)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      withEmbeddings(pairs, corpus, "query_id", "neighbor_id")
+        .withColumn("cos", cosineFast(col("emb_a"), col("emb_b")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup by similarity ≥ t):

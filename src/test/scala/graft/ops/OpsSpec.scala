@@ -459,6 +459,33 @@ class OpsSpec extends AnyFunSuite {
     assert(r >= 0.9, s"lsh recall $r")
   }
 
+  test("broadcast candidate ranking identical to the join ranking") {
+    // knownN inside the byte budget flips LSH/IVF candidate ranking to
+    // the r08 broadcast-block partial-top-k kernel; it must reproduce
+    // the join path's rows EXACTLY (ids, ranks, and cosine bits)
+    val emb = clusteredEmb(400, 32, 8, seed = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"rank", $"cos")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val lshJoin = Similarity.lshCosineTopK(emb, k = 5,
+      signBits = 5, tables = 12)
+    val lshBc = Similarity.lshCosineTopK(emb, k = 5,
+      signBits = 5, tables = 12, knownN = 400L)
+    assert(rows(lshBc) == rows(lshJoin))
+    val cents = IvfIndex.train(emb, k = 8)
+    val ivfJoin = IvfIndex.topK(emb, cents, k = 5)
+    val ivfBc = IvfIndex.topK(emb, cents, k = 5, knownN = 400L)
+    assert(rows(ivfBc) == rows(ivfJoin))
+    // query-subset form too (the recall gate's exact shape)
+    val q = emb.filter($"vec_id" % 4 === 0)
+    val lshQJ = Similarity.lshCosineTopK(emb, k = 5, signBits = 5,
+      tables = 12, queries = q)
+    val lshQB = Similarity.lshCosineTopK(emb, k = 5, signBits = 5,
+      tables = 12, queries = q, knownN = 400L)
+    assert(rows(lshQB) == rows(lshQJ))
+  }
+
   test("auto mode routes small corpora to the exact brute pass") {
     // below lshCrossover the shipped defaults ARE exact: identical rows
     // to bruteCosineTopK / exactCosineNearDups over the survivors
