@@ -894,18 +894,27 @@ object SparkEntry {
         graft.sources.Warc.writeWet(
           results.select(col("url"), col("warc_ts"), col("text")),
           s"$base/wet", cdx = true)
+        // the sidecar census and the slice-read aggregate are
+        // independent DAGs over the just-written files — run their
+        // actions concurrently (results unchanged)
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
         val idx = graft.sources.Warc.cdxEntries(s, s"$base/wet/*.cdx.gz")
-        val cdxFiles = idx.select(col("cdx_file")).distinct().count()
+        val cdxFilesF = Future(
+          idx.select(col("cdx_file")).distinct().count())
         val back = graft.sources.Warc
           .readCdxRecords(s, s"$base/wet/*.cdx.gz")
           .filter(col("warc_type") === "conversion")
           .select(col("url"), col("payload").cast("string").as("text"))
         val rowFp = xxhash64(col("url"), md5(col("text")))
-        val r = back.agg(
+        val rF = Future(back.agg(
           count(lit(1)).as("docs"),
           bit_xor(rowFp).as("fp_xor"),
           sum(length(col("text")).cast("long")).as("total_chars")
-        ).as[(Long, Long, Long)].head()
+        ).as[(Long, Long, Long)].head())
+        val r = Await.result(rF, Duration.Inf)
+        val cdxFiles = Await.result(cdxFilesF, Duration.Inf)
         Seq((r._1, r._2, r._3, cdxFiles))
           .toDF("docs", "fp_xor", "total_chars", "cdx_files")
       } finally {
@@ -1359,6 +1368,21 @@ object SparkEntry {
     else java.nio.file.Files.createTempDirectory(prefix)
   }
 
+  /** [[scratchDir]] for the per-JVM corpora (warc/stream/bloom): the
+    * query-scoped dirs delete themselves in their finally blocks, but
+    * these live for the JVM — a shutdown hook reclaims the tmpfs bytes
+    * so repeated bench JVMs cannot accrete in /dev/shm. */
+  private def scratchDirJvm(prefix: String): java.nio.file.Path = {
+    val d = scratchDir(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+    d
+  }
+
   /** The 500-page corpus as real WARC files, written once per JVM (8
     * files; even files per-record-gzip-membered, odd plain; bodies
     * chunked / Content-Encoding-gzipped on the same i%5 / i%3 mix as
@@ -1366,7 +1390,7 @@ object SparkEntry {
   @volatile private var warcCorpus: String = _
   private def warcCorpusDir(s: SparkSession): String = synchronized {
     if (warcCorpus == null) {
-      val d = scratchDir("graft_warc_corpus_")
+      val d = scratchDirJvm("graft_warc_corpus_")
       (0 until 8).foreach { f =>
         val name = if (f % 2 == 0) s"part-$f.warc.gz" else s"part-$f.warc"
         val out = new java.io.BufferedOutputStream(
@@ -1399,7 +1423,7 @@ object SparkEntry {
   private def streamCorpusDir(s: SparkSession): String = synchronized {
     if (streamCorpus == null) {
       import s.implicits._
-      val d = scratchDir("graft_stream_corpus_").toString + "/pages"
+      val d = scratchDirJvm("graft_stream_corpus_").toString + "/pages"
       graft.pipeline.ExtractPipeline.pages(s, 500, 8).write.parquet(d)
       s.range(0L, 500L, 1L, 8).filter(_ % 2 == 0)
         .map(i => graft.pipeline.PagesSynth.row(i))
@@ -1469,7 +1493,7 @@ object SparkEntry {
   private def bloomIndexDir(dir: String, seen: DataFrame): String =
     synchronized {
       if (bloomIdx == null || bloomIdx._1 != dir) {
-        val d = scratchDir("graft_bloom_idx_").toString
+        val d = scratchDirJvm("graft_bloom_idx_").toString
         graft.ops.IncrementalDedup.writeBloomIndex(seen, d, buckets = 8)
         bloomIdx = (dir, d)
       }
