@@ -74,6 +74,53 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got == Seq((0L, 2L, 2L, 1000000L), (1L, 0L, 0L, 0L)))
   }
 
+  test("local trainer == distributed loop on seeded random corpora") {
+    // localBudgetBytes = 0 forces the per-round Spark loop; default
+    // routes the same table to the r08 in-process trainer — merge
+    // lists must be bit-identical
+    val rnd = new scala.util.Random(123)
+    for (trial <- 1 to 4) {
+      val vocab = (0 until 40 + trial * 10).map { _ =>
+        val len = 1 + rnd.nextInt(7)
+        (0 until len).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      }.distinct
+      val wf = vocab.map(w => (w, (1 + rnd.nextInt(9)).toLong))
+        .toDF("word", "freq")
+      val local = BpeTrain.trainMerges(wf, numMerges = 10)
+      val dist = BpeTrain.trainMerges(wf, numMerges = 10,
+        localBudgetBytes = 0L)
+      assert(local == dist, s"trial $trial")
+    }
+  }
+
+  test("local trainer honors minPairFreq and early exhaustion") {
+    val wf = freqs("ab" -> 1L)
+    assert(BpeTrain.trainMerges(wf, 5, minPairFreq = 2) == Seq.empty)
+    assert(BpeTrain.trainMerges(wf, 5, minPairFreq = 1) == Seq(("a", "b")))
+    // exhausts after all pairs merged, well before numMerges
+    val wf2 = freqs("abc" -> 3L)
+    val m = BpeTrain.trainMerges(wf2, 50, minPairFreq = 1)
+    assert(m.length == 2) // (a,b) or (b,c) then the remaining pair
+  }
+
+  test("gated encodeWord identical to the linear reference") {
+    val rnd = new scala.util.Random(7)
+    val wf = (0 until 60).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      ((0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString,
+        (1 + rnd.nextInt(5)).toLong)
+    }.toDF("word", "freq")
+    val merges = BpeTrain.trainMerges(wf, numMerges = 15, minPairFreq = 1)
+    assert(merges.nonEmpty)
+    for (_ <- 1 to 300) {
+      val len = rnd.nextInt(12)
+      val w = (0 until len).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString
+      assert(BpeTrain.encodeWord(w, merges) ==
+        BpeTrain.encodeWordReference(w, merges), s"word '$w'")
+    }
+    assert(BpeTrain.encodeWord("", merges) == Seq.empty)
+  }
+
   test("training is deterministic across partitionings") {
     val words = (0 until 200).map(i => (s"w${i % 23}x${i % 7}", (i % 9) + 1L))
     val a = BpeTrain.trainMerges(words.toDF("word", "freq"), 8)
