@@ -358,19 +358,22 @@ object IvfIndex {
     val probes = qsrc
       .select(col("vec_id").as("query_id"),
         explode(probeUdf(col("embedding"))).as("ckey"))
-    val pairs = probes.join(candidates, Seq("ckey"))
+    val rawPairs = probes.join(candidates, Seq("ckey"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id") // ×replicas/probes sightings
     // same ranking gate as Similarity.lshCosineTopK: a corpus the
     // caller KNOWS fits the broadcast budget scores pairs against a
     // broadcast id→vector block with partial top-k instead of two
-    // join-backs materializing dim-sized arrays per candidate pair
+    // join-backs materializing dim-sized arrays per candidate pair —
+    // and the kernel dedups the ×replicas/probes sightings itself
+    // (intra-task + over partials), skipping the full-pair exchange
     if (knownN >= 0L && knownN *
         math.max(Similarity.embDim(corpus), 1).toLong * 4L <= broadcastBudget)
-      return Similarity.rankPairsTopKBroadcast(pairs,
+      return Similarity.rankPairsTopKBroadcast(rawPairs,
         qsrc.select(col("vec_id"), col("embedding")),
         corpus.select(col("vec_id"), col("embedding")), k)
+    val pairs =
+      rawPairs.dropDuplicates("query_id", "neighbor_id") // ×sightings
     val embQ = qsrc.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
     val embN = corpus.select(col("vec_id").as("neighbor_id"),

@@ -381,7 +381,7 @@ object Similarity {
     * (10^12 rows) per side. `symmetric = false` keeps only a < b. */
   private def candidatePairs(corpus: DataFrame, signBits: Int, tables: Int,
       knownN: Long, symmetric: Boolean, bucketCap: Int,
-      queryIds: DataFrame = null): DataFrame = {
+      queryIds: DataFrame = null, dedupPairs: Boolean = true): DataFrame = {
     val ids = cappedIds(corpus, signBits, tables, knownN, bucketCap)
     val left0 = ids.select(col("bucket"), col("vec_id").as("a"))
     // query-set search (a ∈ queries, b ∈ corpus): restrict the LEFT side
@@ -393,10 +393,14 @@ object Similarity {
         Seq("a"), "left_semi")
     val right = ids.select(col("bucket"), col("vec_id").as("b"))
     val cond = if (symmetric) col("a") =!= col("b") else col("a") < col("b")
-    left.join(right, Seq("bucket"))
+    val raw = left.join(right, Seq("bucket"))
       .filter(cond)
       .select(col("a"), col("b"))
-      .dropDuplicates("a", "b") // pair found in ≤tables buckets
+    // pair found in ≤tables buckets: global dedup — EXCEPT when the
+    // consumer is the broadcast ranking kernel, which dedups intra-task
+    // and again over its (tiny) partial top-k output, skipping this
+    // full-pair-set exchange (`dedupPairs = false`)
+    if (dedupPairs) raw.dropDuplicates("a", "b") else raw
   }
 
   /** Rows dropped by `bucketCap` across all tables (hot-bucket
@@ -439,7 +443,15 @@ object Similarity {
     * broadcast-budget discipline) and keep the join path beyond it.
     * Output identical: a pair outside its task's per-query top-k can
     * never enter the global top-k under the same total order
-    * (cos desc, neighbor_id asc). */
+    * (cos desc, neighbor_id asc).
+    *
+    * `pairs` need NOT be globally distinct: each task dedups its own
+    * rows (a seen-set in front of the buffers, so a duplicate cannot
+    * occupy two top-k slots) and the window input is deduped over the
+    * PARTIAL rows — tasks × queries × k instead of the full candidate
+    * multiset, which lets LSH/IVF callers skip their own full-pair-set
+    * dropDuplicates exchange. Cross-task duplicates carry identical
+    * cos values, so the surviving row is unambiguous. */
   private[ops] def rankPairsTopKBroadcast(pairs: DataFrame,
       qEmb: DataFrame, nEmb: DataFrame, k: Int): DataFrame = {
     val spark = pairs.sparkSession
@@ -466,9 +478,15 @@ object Similarity {
         }
         // per-query bounded buffers: (cos desc, neighbor_id asc)
         val bufs = new java.util.HashMap[Long, (Array[Double], Array[Long], Array[Int])]()
+        // intra-task pair dedup: a duplicate sighting (the same pair
+        // lands in ≤tables buckets) must not occupy two top-k slots
+        val seen = new java.util.HashSet[Long]()
         it.foreach { case (q, nId) =>
           val qi = idxOf(qIds, q)
           val ni = idxOf(nIds, nId)
+          val pairKey = qi.toLong * nIds.length + ni
+          if (!seen.add(pairKey)) ()
+          else {
           val c = SimilarityKernel.cosinePrenormed(
             qVecs(qi), nVecs(ni), qNorms(qi), nNorms(ni))
           var b = bufs.get(q)
@@ -487,6 +505,7 @@ object Similarity {
             cb(pos) = c; ib(pos) = nId
             if (l < k) lenBox(0) = l + 1
           }
+          }
         }
         import scala.jdk.CollectionConverters._
         bufs.entrySet().iterator().asScala.flatMap { e =>
@@ -499,6 +518,9 @@ object Similarity {
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     partial
+      // cross-task duplicate sightings (identical cos) collapse here —
+      // over the partial rows, never the full candidate multiset
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
@@ -543,19 +565,23 @@ object Similarity {
     val bits = if (auto) signBitsFor(n) else signBits
     val tbl = if (tables > 0) tables else if (auto) tablesFor(bits)
       else DefaultTables
-    val pairs = candidatePairs(corpus, bits, tbl, n,
-      symmetric = true, bucketCap, queryIds = queries)
-      .select(col("a").as("query_id"), col("b").as("neighbor_id"))
     // Candidate ranking: when the caller KNOWS the corpus is inside the
     // broadcast byte budget (knownN ≥ 0, e.g. the forced-machinery
     // recall gate probing a counted corpus), the pairs are scored
     // against a broadcast id→vector block with per-task partial top-k —
-    // no per-pair array materialization through two join-backs and a
-    // partial-sized ranking window. Unknown/large corpora keep the
-    // join path (identical output, OpsSpec-pinned cosine).
+    // no per-pair array materialization through two join-backs, a
+    // partial-sized ranking window, and no full-pair-set dedup
+    // exchange (the kernel dedups intra-task + over partials).
+    // Unknown/large corpora keep the join path (identical output,
+    // OpsSpec-pinned cosine).
     val effN = if (auto) n else knownN
-    if (effN >= 0L &&
-        effN * math.max(embDim(corpus), 1).toLong * 4L <= broadcastBudget)
+    val useBroadcastRanking = effN >= 0L &&
+      effN * math.max(embDim(corpus), 1).toLong * 4L <= broadcastBudget
+    val pairs = candidatePairs(corpus, bits, tbl, n,
+      symmetric = true, bucketCap, queryIds = queries,
+      dedupPairs = !useBroadcastRanking)
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"))
+    if (useBroadcastRanking)
       rankPairsTopKBroadcast(pairs,
         (if (queries == null) corpus else queries)
           .select(col("vec_id"), col("embedding")),
