@@ -74,7 +74,7 @@ object BpeTrain {
     // pre-collect byte bound (one cheap aggregate): Σ|word| + 16/row
     val est = wordFreqs
       .agg(coalesce(sum(length(col("word")).cast("long") + 16L), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     if (est <= localBudgetBytes) {
       val rows = wordFreqs
         .select(col("word"), col("freq").cast("long").as("freq"))

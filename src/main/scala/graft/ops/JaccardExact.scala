@@ -42,7 +42,7 @@ object JaccardExact {
     // the block on the driver (the Similarity pre-collect discipline)
     val est = keyed
       .agg(coalesce(sum(size(col(keysCol)).cast("long") * 8L), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     require(est <= broadcastBudget,
       s"jaccard sample is $est B of shingle keys > broadcast budget " +
         s"$broadcastBudget B — shrink the sample (this is the " +
