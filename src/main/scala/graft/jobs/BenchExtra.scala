@@ -50,6 +50,8 @@ object BenchExtra {
     var rest = args.drop(1).toSeq
     val plansOut = rest.indexOf("--plans") match {
       case i if i >= 0 =>
+        require(i + 1 < rest.length,
+          "--plans requires an output directory operand")
         val out = rest(i + 1)
         rest = rest.patch(i, Nil, 2)
         Some(out)

@@ -327,11 +327,20 @@ object BpeTrain {
     * Zipf makes repeat words the common case, and the encode is a pure
     * function of (merge list, word) — the broadcast id pins the merge
     * list identity, so entries can never serve a different vocabulary.
-    * Bounded (entries stop being added at the cap; existing hits keep
-    * serving). */
+    * Bounded at the cap, and CLEARED when a new broadcast id appears
+    * while full — a stale vocabulary's dead entries must not pin the
+    * cap against the live one for the executor's lifetime. */
   private val encodeMemo =
     new java.util.concurrent.ConcurrentHashMap[(Long, String), java.lang.Long]()
   private val EncodeMemoCap = 1 << 20
+  @volatile private var memoBcId = Long.MinValue
+  private def memoFor(bcId: Long): Unit =
+    if (memoBcId != bcId) synchronized {
+      if (memoBcId != bcId) {
+        if (encodeMemo.size >= EncodeMemoCap) encodeMemo.clear()
+        memoBcId = bcId
+      }
+    }
 
   def withBpeTokenCounts(docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
@@ -343,6 +352,7 @@ object BpeTrain {
         else text.split(" ", -1).filter(_.nonEmpty)
       val m = bc.value
       val bcId = bc.id
+      memoFor(bcId)
       var toks = 0L
       var i = 0
       while (i < ws.length) {

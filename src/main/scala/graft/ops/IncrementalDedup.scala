@@ -97,13 +97,18 @@ object IncrementalDedup {
     val seenBf = seenUrls.stat.bloomFilter(urlCol, math.max(nSeen, 1L), fpp)
 
     val maybeSeen = mightContainCol(newBatch, seenBf, urlCol)
-    // the probe verdict is computed ONCE and persisted: without this the
-    // batch lineage (and the Bloom probe UDF) re-evaluated three times —
-    // definite-new filter, candidate count, and the anti-join input — a
-    // triple full rescan at the operator's 10^12 batch scale. The
-    // candidate count below materializes the cache; Spark's
-    // ContextCleaner unpersists it when the frames go unreferenced.
-    val flagged = newBatch.withColumn("__maybe_seen", maybeSeen).persist()
+    // the probe verdict is computed ONCE and materialized (lazy
+    // localCheckpoint — the candidate count below triggers it): without
+    // this the batch lineage (and the Bloom probe UDF) re-evaluated
+    // three times — definite-new filter, candidate count, and the
+    // anti-join input — a triple full rescan at the operator's 10^12
+    // batch scale. localCheckpoint, not persist(): a Dataset .persist
+    // is registered in CacheManager and survives until an explicit
+    // unpersist (which no one can call here — the result is lazy),
+    // while checkpoint RDD blocks are freed by ContextCleaner as soon
+    // as the frames go unreferenced.
+    val flagged = newBatch.withColumn("__maybe_seen", maybeSeen)
+      .localCheckpoint(false)
     // definite-new majority: filter rejection proves absence — no join,
     // no shuffle for these rows
     val definiteNew = flagged.filter(!col("__maybe_seen"))
@@ -309,11 +314,12 @@ object IncrementalDedup {
         org.apache.spark.sql.types.StructType(
           newBatch.schema.fields :+ org.apache.spark.sql.types.StructField(
             "__maybe_seen", org.apache.spark.sql.types.BooleanType, false))))
-      // persisted for the same reason as the broadcast form: the flag
-      // pass (repartition + per-bucket filter load + probe) otherwise
+      // materialized for the same reason as the broadcast form (lazy
+      // localCheckpoint; see there for why not persist): the flag pass
+      // (repartition + per-bucket filter load + probe) otherwise
       // re-runs for the definite-new filter, the candidate count, and
-      // the anti-join input; the count below materializes the cache
-      .persist()
+      // the anti-join input; the count below triggers it
+      .localCheckpoint(false)
     val definiteNew = flagged.filter(!col("__maybe_seen")).drop("__maybe_seen")
       .union(nullRows)
     val candidates = flagged.filter(col("__maybe_seen")).drop("__maybe_seen")

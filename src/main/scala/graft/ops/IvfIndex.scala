@@ -366,12 +366,17 @@ object IvfIndex {
     // broadcast id→vector block with partial top-k instead of two
     // join-backs materializing dim-sized arrays per candidate pair —
     // and the kernel dedups the ×replicas/probes sightings itself
-    // (intra-task + over partials), skipping the full-pair exchange
-    if (knownN >= 0L && knownN *
-        math.max(Similarity.embDim(corpus), 1).toLong * 4L <= broadcastBudget)
-      return Similarity.rankPairsTopKBroadcast(rawPairs,
-        qsrc.select(col("vec_id"), col("embedding")),
-        corpus.select(col("vec_id"), col("embedding")), k)
+    // (buffer-scan + over partials), skipping the full-pair exchange.
+    // Row-count pre-filter keeps the embDim head-probe off corpora
+    // whose row count alone exceeds the budget.
+    if (knownN >= 0L && knownN * 4L <= broadcastBudget && knownN *
+        math.max(Similarity.embDim(corpus), 1).toLong * 4L <= broadcastBudget) {
+      val nEmbF = corpus.select(col("vec_id"), col("embedding"))
+      val qEmbF = if (queries == null) nEmbF
+        else qsrc.select(col("vec_id"), col("embedding"))
+      return Similarity.rankPairsTopKBroadcast(rawPairs, qEmbF, nEmbF, k,
+        broadcastBudget)
+    }
     val pairs =
       rawPairs.dropDuplicates("query_id", "neighbor_id") // ×sightings
     val embQ = qsrc.select(col("vec_id").as("query_id"),

@@ -445,26 +445,45 @@ object Similarity {
     * never enter the global top-k under the same total order
     * (cos desc, neighbor_id asc).
     *
-    * `pairs` need NOT be globally distinct: each task dedups its own
-    * rows (a seen-set in front of the buffers, so a duplicate cannot
-    * occupy two top-k slots) and the window input is deduped over the
-    * PARTIAL rows — tasks × queries × k instead of the full candidate
-    * multiset, which lets LSH/IVF callers skip their own full-pair-set
-    * dropDuplicates exchange. Cross-task duplicates carry identical
-    * cos values, so the surviving row is unambiguous. */
+    * `pairs` need NOT be globally distinct: a duplicate sighting can
+    * never occupy two top-k slots because the insert scans the ≤k
+    * buffer entries for its neighbor id first (O(k), no unbounded
+    * per-task seen-structure — the dropDuplicates exchange this
+    * replaces could at least spill), and the window input is deduped
+    * over the PARTIAL rows — tasks × queries × k instead of the full
+    * candidate multiset. Cross-task duplicates carry identical cos
+    * values, so the surviving row is unambiguous.
+    *
+    * Collect safety: callers pre-gate the corpus via knownN × dim ×
+    * 4 ≤ budget; both blocks additionally assert their ACTUAL byte size
+    * right after collect (a stale knownN or an oversized caller-supplied
+    * queries frame fails loudly instead of broadcasting). When `qEmb eq
+    * nEmb` (self-query) the block is collected and broadcast once. */
   private[ops] def rankPairsTopKBroadcast(pairs: DataFrame,
-      qEmb: DataFrame, nEmb: DataFrame, k: Int): DataFrame = {
+      qEmb: DataFrame, nEmb: DataFrame, k: Int,
+      broadcastBudget: Long = DefaultBroadcastBudgetBytes): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
+    if (k <= 0) // join-path parity: rank <= 0 filters everything
+      return spark.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("cos"), lit(0).as("rank"))
     def block(df: DataFrame): (Array[Long], Array[Array[Float]], Array[Double]) = {
       val rows = df.select(col("vec_id"),
           col("embedding").cast("array<float>"))
         .as[(Long, Array[Float])].collect().sortBy(_._1)
+      val bytes = rows.iterator.map(r =>
+        if (r._2 == null) 0L else r._2.length * 4L).sum
+      require(bytes <= broadcastBudget,
+        s"ranking block is $bytes B > broadcast budget $broadcastBudget " +
+          "B — the caller's knownN understated the corpus (or the " +
+          "queries frame is oversized); use the join ranking path")
       (rows.map(_._1), rows.map(_._2),
         rows.map(r => SimilarityKernel.sqrtNorm(r._2)))
     }
     val bcQ = spark.sparkContext.broadcast(block(qEmb))
-    val bcN = spark.sparkContext.broadcast(block(nEmb))
+    val bcN = if (qEmb eq nEmb) bcQ
+      else spark.sparkContext.broadcast(block(nEmb))
     val partial = pairs
       .select(col("query_id"), col("neighbor_id"))
       .as[(Long, Long)]
@@ -478,15 +497,9 @@ object Similarity {
         }
         // per-query bounded buffers: (cos desc, neighbor_id asc)
         val bufs = new java.util.HashMap[Long, (Array[Double], Array[Long], Array[Int])]()
-        // intra-task pair dedup: a duplicate sighting (the same pair
-        // lands in ≤tables buckets) must not occupy two top-k slots
-        val seen = new java.util.HashSet[Long]()
         it.foreach { case (q, nId) =>
           val qi = idxOf(qIds, q)
           val ni = idxOf(nIds, nId)
-          val pairKey = qi.toLong * nIds.length + ni
-          if (!seen.add(pairKey)) ()
-          else {
           val c = SimilarityKernel.cosinePrenormed(
             qVecs(qi), nVecs(ni), qNorms(qi), nNorms(ni))
           var b = bufs.get(q)
@@ -497,14 +510,22 @@ object Similarity {
           val (cb, ib, lenBox) = b
           val l = lenBox(0)
           if (l < k || c > cb(l - 1) || (c == cb(l - 1) && nId < ib(l - 1))) {
-            var pos = if (l < k) l else k - 1
-            while (pos > 0 && (c > cb(pos - 1) ||
-                (c == cb(pos - 1) && nId < ib(pos - 1)))) {
-              cb(pos) = cb(pos - 1); ib(pos) = ib(pos - 1); pos -= 1
+            // duplicate sighting (same pair from another bucket/table):
+            // already buffered → skip, so it can never hold two slots.
+            // A duplicate NOT in the buffer was evicted by k better
+            // pairs and fails the threshold above by construction.
+            var dup = false
+            var s = 0
+            while (!dup && s < l) { dup = ib(s) == nId && cb(s) == c; s += 1 }
+            if (!dup) {
+              var pos = if (l < k) l else k - 1
+              while (pos > 0 && (c > cb(pos - 1) ||
+                  (c == cb(pos - 1) && nId < ib(pos - 1)))) {
+                cb(pos) = cb(pos - 1); ib(pos) = ib(pos - 1); pos -= 1
+              }
+              cb(pos) = c; ib(pos) = nId
+              if (l < k) lenBox(0) = l + 1
             }
-            cb(pos) = c; ib(pos) = nId
-            if (l < k) lenBox(0) = l + 1
-          }
           }
         }
         import scala.jdk.CollectionConverters._
@@ -574,19 +595,25 @@ object Similarity {
     // exchange (the kernel dedups intra-task + over partials).
     // Unknown/large corpora keep the join path (identical output,
     // OpsSpec-pinned cosine).
+    // row-count pre-filter BEFORE the 1-row embDim head-probe: a corpus
+    // whose row count alone exceeds the budget (4 B/row floor) must not
+    // partially execute its lineage just to learn the dim (embDim's
+    // contract: never on the large-corpus path)
     val effN = if (auto) n else knownN
     val useBroadcastRanking = effN >= 0L &&
+      effN * 4L <= broadcastBudget &&
       effN * math.max(embDim(corpus), 1).toLong * 4L <= broadcastBudget
     val pairs = candidatePairs(corpus, bits, tbl, n,
       symmetric = true, bucketCap, queryIds = queries,
       dedupPairs = !useBroadcastRanking)
       .select(col("a").as("query_id"), col("b").as("neighbor_id"))
-    if (useBroadcastRanking)
-      rankPairsTopKBroadcast(pairs,
-        (if (queries == null) corpus else queries)
-          .select(col("vec_id"), col("embedding")),
-        corpus.select(col("vec_id"), col("embedding")), k)
-    else {
+    if (useBroadcastRanking) {
+      val nEmbF = corpus.select(col("vec_id"), col("embedding"))
+      // same reference when self-querying → ONE collected block
+      val qEmbF = if (queries == null) nEmbF
+        else queries.select(col("vec_id"), col("embedding"))
+      rankPairsTopKBroadcast(pairs, qEmbF, nEmbF, k, broadcastBudget)
+    } else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)

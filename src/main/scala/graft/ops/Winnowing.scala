@@ -133,10 +133,12 @@ object Winnowing {
       minShared, bucketCap)
 
   /** [[candidatePairs]] over an ALREADY-fingerprinted frame
-    * (doc_id, fps) — callers that also aggregate the fingerprints
-    * themselves (x_winnow_fingerprints) compute/cache the kernel ONCE
-    * and feed both consumers instead of running the per-row UDF twice
-    * over the corpus. */
+    * (doc_id, fps) — for callers that computed (or persisted) the
+    * kernel output themselves. NOTE: x_winnow_fingerprints measured
+    * FASTER re-running the kernel in both of its crossJoin subtrees
+    * than materializing a shared frame (concurrent subtrees beat a
+    * serialized materialization phase), so it deliberately does NOT
+    * use this entry point. */
   def candidatePairsFromFps(fpDocs: DataFrame, minShared: Int = 2,
       bucketCap: Int = DefaultBucketCap): DataFrame = {
     val fps = fpDocs.select(col("doc_id"), explode(col("fps")).as("fp"))
